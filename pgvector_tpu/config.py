@@ -154,3 +154,9 @@ config.register_int("work_mem", 1024**3, 1024**2, 2**53,
                     "per-scan memory budget in bytes")
 config.register_int("max_parallel_maintenance_workers", 8, 0, 1024,
                     "build wave parallelism hint (devices used for build)")
+
+# TPU-specific compute knobs (no reference analogue; the CPU equivalent is
+# the OPTFLAGS/DISPATCH compile-time tier, SURVEY.md §5 config system).
+config.register_enum("compute.matmul_precision", "highest",
+                     ("default", "high", "highest"),
+                     "MXU precision for distance matmuls")

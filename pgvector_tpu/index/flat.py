@@ -1,0 +1,140 @@
+"""Exact (brute-force) search — pgvector's no-index path and the ground
+truth for every recall test (README.md:197; test/t/012 methodology).
+
+A flat scan over the table's HBM arrays: tiled MXU score blocks merged into
+a running top-k (ops.topk.tiled_topk).  Matches the reference's "parallel
+exact search" capability (SURVEY.md §2.4.4) — on TPU the parallel seq scan
++ Gather becomes data-parallel tiles on one chip and shard-parallel scans
+across a mesh (pgvector_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import DataException
+from ..ops import distance as D
+from ..ops.metric import Metric
+from ..ops.topk import tiled_topk
+from ..store.table import BitTable, DenseTable, SparseTable
+from ..types import Bit, HalfVec, SparseVec, Vector
+
+DENSE_METRICS = (Metric.L2, Metric.IP, Metric.COSINE, Metric.L1)
+BIT_METRICS = (Metric.HAMMING, Metric.JACCARD)
+SPARSE_METRICS = (Metric.L2, Metric.IP, Metric.COSINE, Metric.L1)
+
+
+def _coerce_dense_queries(q, dim: int) -> jnp.ndarray:
+    if isinstance(q, (Vector, HalfVec)):
+        q = q.x[None, :]
+    elif isinstance(q, (list, tuple)) and q and isinstance(q[0], (Vector, HalfVec)):
+        q = np.stack([v.x for v in q])
+    arr = jnp.asarray(np.asarray(q, dtype=np.float32))
+    if arr.ndim == 1:
+        arr = arr[None, :]
+    if arr.shape[1] != dim:
+        raise DataException(f"different vector dimensions {arr.shape[1]} and {dim}")
+    return arr
+
+
+class FlatIndex:
+    """Exact top-k over a table.  Stateless w.r.t. the table's contents —
+    always sees the current rows + validity mask."""
+
+    def __init__(self, table: Union[DenseTable, BitTable, SparseTable],
+                 metric: Metric, tile: int = 8192):
+        self.table = table
+        self.metric = metric
+        self.tile = tile
+        if isinstance(table, DenseTable) and metric not in DENSE_METRICS:
+            raise DataException(f"operator {metric.op} does not apply to dense vectors")
+        if isinstance(table, BitTable) and metric not in BIT_METRICS:
+            raise DataException(f"operator {metric.op} does not apply to bit vectors")
+        if isinstance(table, SparseTable) and metric not in SPARSE_METRICS:
+            raise DataException(f"operator {metric.op} does not apply to sparse vectors")
+
+    # -- dense -------------------------------------------------------------
+    def _search_dense(self, q, k: int):
+        table: DenseTable = self.table
+        qs = _coerce_dense_queries(q, table.dim)
+        metric = self.metric
+
+        def score(tile_data):
+            return D.dense_scores(metric, qs, tile_data)
+
+        return tiled_topk(
+            score, (table.data,), table.count, k,
+            tile=self.tile, valid=table.valid[: table.count],
+        )
+
+    # -- bit ---------------------------------------------------------------
+    def _search_bit(self, q, k: int):
+        table: BitTable = self.table
+        if isinstance(q, Bit):
+            q = q.bits[None, :]
+        elif isinstance(q, (list, tuple)) and q and isinstance(q[0], Bit):
+            q = np.stack([b.bits for b in q])
+        arr = np.asarray(q, dtype=bool)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        if arr.shape[1] != table.dim:
+            raise DataException(
+                f"different bit lengths {arr.shape[1]} and {table.dim}"
+            )
+        qw = D.pack_bits(jnp.asarray(arr))
+        metric = self.metric
+
+        def score(tile_words):
+            return D.bit_scores(metric, qw, tile_words)
+
+        return tiled_topk(
+            score, (table.data,), table.count, k,
+            tile=self.tile, valid=table.valid[: table.count],
+        )
+
+    # -- sparse ------------------------------------------------------------
+    def _search_sparse(self, q, k: int):
+        table: SparseTable = self.table
+        if isinstance(q, SparseVec):
+            q = [q]
+        pq = max(max((sv.nnz for sv in q), default=1), 1)
+        q_idx = np.full((len(q), pq), table.pad_index, dtype=np.int32)
+        q_val = np.zeros((len(q), pq), dtype=np.float32)
+        for r, sv in enumerate(q):
+            if sv.dim != table.dim:
+                raise DataException(
+                    f"different sparsevec dimensions {sv.dim} and {table.dim}"
+                )
+            q_idx[r, : sv.nnz] = sv.indices
+            q_val[r, : sv.nnz] = sv.values
+        q_idx = jnp.asarray(q_idx)
+        q_val = jnp.asarray(q_val)
+        metric = self.metric
+
+        def score(tile_idx, tile_val):
+            return D.sparse_scores_batch(metric, q_idx, q_val, tile_idx, tile_val)
+
+        return tiled_topk(
+            score, (table.idx, table.val), table.count, k,
+            tile=self.tile, valid=table.valid[: table.count],
+        )
+
+    def search(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-k.  Returns (distances, row_ids) with user-facing
+        operator distances; absent slots (k > live rows) give inf / -1."""
+        if isinstance(self.table, DenseTable):
+            stored, ids = self._search_dense(q, k)
+        elif isinstance(self.table, BitTable):
+            stored, ids = self._search_bit(q, k)
+        else:
+            stored, ids = self._search_sparse(q, k)
+        if self.metric is Metric.L2:
+            user = jnp.where(jnp.isinf(stored), stored, jnp.sqrt(jnp.maximum(stored, 0.0)))
+        else:
+            user = stored
+        return np.asarray(user), np.asarray(ids)

@@ -1,0 +1,100 @@
+"""Tiled top-k search engine.
+
+The exact-search ground truth (pgvector's no-index path: a seq scan feeding
+``ORDER BY distance LIMIT k``, README.md:197) becomes a scan over HBM tiles:
+each tile's (Q, T) score block is produced on the MXU/VPU, then merged into a
+running (Q, k) result with ``lax.top_k``.  Peak memory is O(Q·T), never
+O(Q·N), so a single chip streams arbitrarily large stores at HBM bandwidth.
+
+Also hosts the cross-shard merge used by the multi-chip path (per-shard
+partial top-k → concat over ICI → final top-k; SURVEY.md §2.4.6).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def topk_smallest(
+    scores: jnp.ndarray, k: int, ids: jnp.ndarray | None = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Smallest-k along the last axis.  Returns (dists, indices); when
+    ``ids`` is given, indices are translated through it."""
+    neg, sel = jax.lax.top_k(-scores, k)
+    if ids is not None:
+        if ids.ndim == 1:
+            sel = ids[sel]
+        else:
+            sel = jnp.take_along_axis(ids, sel, axis=-1)
+    return -neg, sel
+
+
+def merge_topk(
+    d_a: jnp.ndarray, i_a: jnp.ndarray, d_b: jnp.ndarray, i_b: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge two (…, ka)/(…, kb) candidate sets into the smallest k."""
+    d = jnp.concatenate([d_a, d_b], axis=-1)
+    i = jnp.concatenate([i_a, i_b], axis=-1)
+    return topk_smallest(d, k, ids=i)
+
+
+def tiled_topk(
+    score_tile: Callable[..., jnp.ndarray],
+    db_cols: Tuple[jnp.ndarray, ...],
+    n: int,
+    k: int,
+    tile: int = 8192,
+    valid: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stream the database through ``score_tile`` and keep the smallest k.
+
+    ``db_cols`` is a tuple of arrays with leading axis N (vectors, norms,
+    sparse indices, ... — whatever the score function needs); ``score_tile``
+    maps one tile of each column to a (Q, T) score block.  ``valid`` masks
+    deleted rows (the delete-mask analogue of dead index tuples).
+
+    Returns (dists, ids) of shape (Q, k); empty slots hold +inf / -1.
+    """
+    tile = min(tile, max(n, 1))
+    n_tiles = -(-n // tile)
+    n_pad = n_tiles * tile
+
+    def pad(col: jnp.ndarray) -> jnp.ndarray:
+        col = col[:n]  # columns may be capacity-padded beyond the row count
+        if n_pad == col.shape[0]:
+            return col
+        pad_width = [(0, n_pad - col.shape[0])] + [(0, 0)] * (col.ndim - 1)
+        return jnp.pad(col, pad_width)
+
+    cols = tuple(pad(c).reshape((n_tiles, tile) + c.shape[1:]) for c in db_cols)
+    row_valid = jnp.arange(n_pad, dtype=jnp.int32) < n
+    if valid is not None:
+        row_valid = row_valid & pad(valid)
+    row_valid = row_valid.reshape(n_tiles, tile)
+    bases = (jnp.arange(n_tiles, dtype=jnp.int32) * tile)
+
+    # probe one tile to get Q and dtype without committing memory
+    q_count = jax.eval_shape(score_tile, *(c[0] for c in cols)).shape[0]
+
+    init = (
+        jnp.full((q_count, k), jnp.inf, dtype=jnp.float32),
+        jnp.full((q_count, k), -1, dtype=jnp.int32),
+    )
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        tile_cols, tile_valid, base = inp
+        s = score_tile(*tile_cols).astype(jnp.float32)
+        s = jnp.where(tile_valid[None, :], s, jnp.inf)
+        ids = base + jnp.arange(tile, dtype=jnp.int32)
+        d, i = merge_topk(best_d, best_i, s, jnp.broadcast_to(ids, s.shape), k)
+        # deleted/padded rows carry +inf scores; keep their ids at -1
+        i = jnp.where(jnp.isinf(d), -1, i)
+        return (d, i), None
+
+    (best_d, best_i), _ = jax.lax.scan(body, init, (cols, row_valid, bases))
+    return best_d, best_i

@@ -1,0 +1,119 @@
+"""Exact search vs numpy brute force — every (table type × metric) combo.
+
+Ports the ground-truth methodology of the reference recall tests
+(test/t/012:13-47): exact top-k from a seq scan is the oracle; here the
+oracle itself is validated against a float64 numpy computation.
+"""
+
+import numpy as np
+import pytest
+
+from pgvector_tpu.index.flat import FlatIndex
+from pgvector_tpu.ops.metric import Metric
+from pgvector_tpu.store.table import BitTable, DenseTable, SparseTable
+from pgvector_tpu.types import Bit, SparseVec
+
+
+def np_dense_dist(metric, q, db):
+    q = q.astype(np.float64)
+    db = db.astype(np.float64)
+    if metric is Metric.L2:
+        return np.linalg.norm(q[:, None, :] - db[None, :, :], axis=-1)
+    if metric is Metric.IP:
+        return -(q @ db.T)
+    if metric is Metric.COSINE:
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        dn = np.linalg.norm(db, axis=1, keepdims=True)
+        return 1 - (q @ db.T) / (qn * dn.T)
+    if metric is Metric.L1:
+        return np.abs(q[:, None, :] - db[None, :, :]).sum(-1)
+    raise ValueError(metric)
+
+
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.IP, Metric.COSINE, Metric.L1])
+def test_dense_exact(metric, rng):
+    n, d, nq, k = 500, 33, 7, 10
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(nq, d)).astype(np.float32)
+    table = DenseTable(d)
+    table.insert(db)
+    idx = FlatIndex(table, metric, tile=128)
+    dists, ids = idx.search(q, k)
+    ref = np_dense_dist(metric, q, db)
+    ref_ids = np.argsort(ref, axis=1)[:, :k]
+    for i in range(nq):
+        # compare distance values (ids can differ on exact ties)
+        assert np.allclose(np.sort(dists[i]), np.sort(ref[i, ref_ids[i]]), rtol=2e-3, atol=2e-3)
+        # and at least 9/10 of the ids agree
+        assert len(set(ids[i]) & set(ref_ids[i])) >= k - 1
+
+
+def test_dense_deletes(rng):
+    n, d = 100, 8
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    table = DenseTable(d)
+    table.insert(db)
+    idx = FlatIndex(table, Metric.L2, tile=32)
+    q = db[5][None, :]
+    dists, ids = idx.search(q, 1)
+    assert ids[0, 0] == 5 and dists[0, 0] == 0
+    table.delete([5])
+    dists, ids = idx.search(q, 1)
+    assert ids[0, 0] != 5
+
+
+def test_k_exceeds_rows(rng):
+    table = DenseTable(4)
+    table.insert(rng.normal(size=(3, 4)).astype(np.float32))
+    idx = FlatIndex(table, Metric.L2)
+    dists, ids = idx.search(np.zeros((1, 4), np.float32), 8)
+    assert (ids[0, 3:] == -1).all()
+    assert np.isinf(dists[0, 3:]).all()
+
+
+@pytest.mark.parametrize("metric", [Metric.HAMMING, Metric.JACCARD])
+def test_bit_exact(metric, rng):
+    n, d, nq, k = 300, 70, 5, 7
+    db = rng.random((n, d)) < 0.5
+    q = rng.random((nq, d)) < 0.5
+    table = BitTable(d)
+    table.insert(db)
+    idx = FlatIndex(table, metric, tile=64)
+    dists, ids = idx.search(q, k)
+    for i in range(nq):
+        if metric is Metric.HAMMING:
+            ref = (q[i][None, :] != db).sum(1).astype(float)
+        else:
+            ab = (q[i][None, :] & db).sum(1)
+            union = q[i].sum() + db.sum(1) - ab
+            ref = np.where(ab == 0, 1.0, 1 - ab / np.maximum(union, 1))
+        order = np.argsort(ref)[:k]
+        assert np.allclose(np.sort(dists[i]), np.sort(ref[order]), atol=1e-6)
+
+
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.IP, Metric.COSINE, Metric.L1])
+def test_sparse_exact(metric, rng):
+    n, d, nq, k = 200, 50, 4, 5
+    dense_db = (rng.normal(size=(n, d)) * (rng.random((n, d)) < 0.3)).astype(np.float32)
+    dense_db[0] = 0  # an all-zero row
+    dense_q = (rng.normal(size=(nq, d)) * (rng.random((nq, d)) < 0.3)).astype(np.float32)
+    table = SparseTable(d, nnz_cap=64)
+    table.insert([SparseVec.from_dense(r) for r in dense_db])
+    idx = FlatIndex(table, metric, tile=64)
+    queries = [SparseVec.from_dense(r) for r in dense_q]
+    dists, ids = idx.search(queries, k)
+    ref = np_dense_dist(metric, dense_q, dense_db)
+    if metric is Metric.COSINE:
+        ref = np.where(np.isnan(ref), np.inf, ref)  # zero rows sort last
+    for i in range(nq):
+        order = np.argsort(ref[i])[:k]
+        assert np.allclose(np.sort(dists[i]), np.sort(ref[i, order]), rtol=1e-4, atol=1e-4)
+
+
+def test_metric_type_mismatch(rng):
+    from pgvector_tpu.errors import DataException
+
+    with pytest.raises(DataException, match="does not apply"):
+        FlatIndex(DenseTable(4), Metric.HAMMING)
+    with pytest.raises(DataException, match="does not apply"):
+        FlatIndex(BitTable(4), Metric.L2)
