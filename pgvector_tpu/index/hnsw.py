@@ -1,0 +1,771 @@
+"""HNSW index — the TPU rewrite of the reference's flagship access method
+(src/hnsw.c, hnswbuild.c, hnswinsert.c, hnswscan.c, hnswutils.c,
+hnswvacuum.c).
+
+Graph layout (SURVEY.md §7): elements are rows of padded HBM arrays instead
+of buffer pages —
+
+- ``values``        — formed index values (the vector copies of
+                      HnswElementTupleData, hnsw.h:372-382); normalized for
+                      cosine opclasses (sql/vector.sql:437-441)
+- ``nbr0``          — int32[cap, 2m] level-0 neighbors (lm = 2m at level 0,
+                      hnsw.h:127)
+- ``nbr_up``        — int32[cap_up, L, m] upper-level neighbors for the
+                      ~1/m fraction of elements with level ≥ 1
+- ``levels``        — int32[cap] element levels, level = floor(-ln(U)·ml),
+                      ml = 1/ln(m) (hnswutils.c:249, hnsw.h:130)
+- ``elem_rows``     — int32[cap, 10] heap-TID multiplexing: duplicate
+                      vectors share one element with up to 10 row ids
+                      (hnsw.h:69, hnswinsert.c:585-636)
+
+Build is *wave-parallel* (SURVEY.md §7 M3): instead of the reference's
+process-parallel shared-memory graph with per-element LWLocks
+(hnswbuild.c:382-480), batches of B elements search the frozen graph
+together (one batched beam kernel), select neighbors together (one masked
+pairwise kernel), then apply backlink updates grouped by target.  Wave
+sizes grow geometrically so early elements see a connected graph.  This
+accepts the same class of approximation the reference accepts under
+concurrent inserts (insert-order nondeterminism); recall parity is enforced
+by tests mirroring test/t/012.
+
+Scan is Algorithm 5 (hnswscan.c:25-56): greedy descent through upper
+levels, ef_search beam at layer 0, then heap-TID expansion + validity/
+filter masking.  Iterative scans (hnsw.iterative_scan) re-run with doubled
+ef until enough results pass the filter, bounded by hnsw.max_scan_tuples.
+
+Vacuum is the 4-pass repair (hnswvacuum.c:777-797): drop dead TIDs →
+repair affected neighbor lists via re-search → verify ("hnsw graph not
+repaired", hnswvacuum.c:578) → free slots.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..errors import DataException, FeatureNotSupported, InternalError
+from ..ops import distance as D
+from ..ops.metric import Metric
+from ..ops.topk import topk_smallest
+from ..store.table import BitTable, DenseTable, SparseTable
+from . import hnsw_kernels as K
+
+# reloption bounds — src/hnsw.h:53-62
+DEFAULT_M = 16
+MIN_M, MAX_M = 2, 100
+DEFAULT_EF_CONSTRUCTION = 64
+MIN_EF_CONSTRUCTION, MAX_EF_CONSTRUCTION = 4, 1000
+
+#: per-type dimension caps (hnswutils.c:1375-1431, hnsw.h:33-34)
+MAX_DIM_F32 = 2000
+MAX_DIM_F16 = 4000
+MAX_DIM_BIT = 64000
+MAX_NNZ_SPARSE = 1000
+
+#: heap TIDs per element (hnsw.h:69)
+HEAPTIDS = 10
+
+#: static upper-level array depth; P(level ≥ 12) = m^-12 — unreachable
+L_MAX = 12
+
+DENSE_OPCLASSES = (Metric.L2, Metric.IP, Metric.COSINE, Metric.L1)
+BIT_OPCLASSES = (Metric.HAMMING, Metric.JACCARD)
+SPARSE_OPCLASSES = (Metric.L2, Metric.IP, Metric.COSINE, Metric.L1)
+
+
+class HNSWIndex:
+    """An HNSW access method over a Dense/Bit/Sparse table."""
+
+    def __init__(
+        self,
+        table,
+        metric: Metric,
+        m: int = DEFAULT_M,
+        ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+        seed: int = 0,
+        build: bool = True,
+        wave_size: int = 1024,
+        dedup: bool = True,
+        notice_hook=None,
+    ):
+        if not MIN_M <= m <= MAX_M:
+            raise DataException(f'value {m} out of bounds for option "m"')
+        if not MIN_EF_CONSTRUCTION <= ef_construction <= MAX_EF_CONSTRUCTION:
+            raise DataException(
+                f'value {ef_construction} out of bounds for option "ef_construction"'
+            )
+        if ef_construction < 2 * m:
+            # hnswbuild.c:713-716
+            raise DataException("ef_construction must be greater than or equal to 2 * m")
+        self.table = table
+        self.metric = metric
+        self.m = m
+        self.ef_construction = ef_construction
+        self.seed = seed
+        self.wave_size = wave_size
+        self.dedup = dedup
+        self.notice_hook = notice_hook or (lambda msg: None)
+        self.ml = 1.0 / math.log(m)  # hnsw.h:130
+
+        if isinstance(table, DenseTable):
+            self.kind = "dense"
+            if metric not in DENSE_OPCLASSES:
+                raise FeatureNotSupported(
+                    f"operator {metric.op} is not supported by hnsw for vectors"
+                )
+            cap = MAX_DIM_F16 if table.dtype != jnp.float32 else MAX_DIM_F32
+            if table.dim > cap:
+                raise DataException(
+                    f"column cannot have more than {cap} dimensions for hnsw index"
+                )
+        elif isinstance(table, BitTable):
+            self.kind = "bit"
+            if metric not in BIT_OPCLASSES:
+                raise FeatureNotSupported(
+                    f"operator {metric.op} is not supported by hnsw for bit vectors"
+                )
+            if table.dim > MAX_DIM_BIT:
+                raise DataException(
+                    f"column cannot have more than {MAX_DIM_BIT} dimensions for hnsw index"
+                )
+        elif isinstance(table, SparseTable):
+            self.kind = "sparse"
+            if metric not in SPARSE_OPCLASSES:
+                raise FeatureNotSupported(
+                    f"operator {metric.op} is not supported by hnsw for sparse vectors"
+                )
+            if table.nnz_cap > MAX_NNZ_SPARSE:
+                raise DataException(
+                    f"sparsevec cannot have more than {MAX_NNZ_SPARSE} non-zero elements for hnsw index"
+                )
+        else:
+            raise FeatureNotSupported(f"hnsw does not support {type(table).__name__}")
+
+        self._rng = np.random.default_rng(seed)
+        self._init_graph(capacity=1024)
+        if build:
+            self.build()
+
+    # ------------------------------------------------------------- graph state
+    def _init_graph(self, capacity: int) -> None:
+        t = self.table
+        self.cap_e = capacity
+        self.cap_u = max(capacity // max(self.m // 2, 1), 64)
+        if self.kind == "dense":
+            self.values = (jnp.zeros((capacity, t.dim), jnp.float32),)
+        elif self.kind == "bit":
+            self.values = (jnp.zeros((capacity, t.words), jnp.uint32),)
+        else:
+            self.values = (
+                jnp.full((capacity, t.nnz_cap), int(D.SPARSE_PAD), jnp.int32),
+                jnp.zeros((capacity, t.nnz_cap), jnp.float32),
+            )
+        self.nbr0 = jnp.full((capacity, 2 * self.m), -1, jnp.int32)
+        self.nbr_up = jnp.full((self.cap_u, L_MAX, self.m), -1, jnp.int32)
+        self.up_slot = np.full(capacity, -1, np.int32)
+        self.levels = np.full(capacity, -1, np.int32)
+        self.elem_rows = np.full((capacity, HEAPTIDS), -1, np.int64)
+        self.n_elems = 0
+        self.n_upper = 0
+        self.entry: int = -1
+        self.entry_level: int = -1
+        self.free_slots: List[int] = []
+        self.row_to_elem: Dict[int, int] = {}
+        self._dup_index: Dict[bytes, int] = {}
+        self._up_slot_dev: Optional[jnp.ndarray] = None
+        self._levels_dev: Optional[jnp.ndarray] = None
+        self._dirty = True
+
+    def _sync_device_meta(self) -> None:
+        if self._dirty:
+            self._up_slot_dev = jnp.asarray(self.up_slot)
+            self._levels_dev = jnp.asarray(self.levels)
+            self._dirty = False
+
+    # ----------------------------------------------------------- index values
+    def _form_values(self, rows: np.ndarray) -> Tuple[tuple, np.ndarray]:
+        """HnswFormIndexValue (hnswutils.c:406-428): fetch, check, and
+        normalize (cosine) the rows' values.  Returns (value block pytree,
+        keep mask) — zero-norm rows are not indexed for cosine
+        (hnswutils.c:417-423)."""
+        t = self.table
+        r = jnp.asarray(rows)
+        if self.kind == "dense":
+            vals = t.data[r].astype(jnp.float32)
+            if self.metric is Metric.COSINE:
+                norms = jnp.sqrt(jnp.sum(vals * vals, axis=1, keepdims=True))
+                keep = np.asarray(norms[:, 0] > 0)
+                vals = vals / jnp.maximum(norms, 1e-30)
+                return (vals,), keep
+            return (vals,), np.ones(len(rows), bool)
+        if self.kind == "bit":
+            return (t.data[r],), np.ones(len(rows), bool)
+        return (t.idx[r], t.val[r]), np.ones(len(rows), bool)
+
+    def _query_rep(self, q):
+        """GetScanValue (hnswscan.c:92-114): coerce + normalize queries."""
+        t = self.table
+        if self.kind == "dense":
+            from .flat import _coerce_dense_queries
+
+            qs = _coerce_dense_queries(q, t.dim)
+            if self.metric is Metric.COSINE:
+                norms = jnp.sqrt(jnp.sum(qs * qs, axis=1, keepdims=True))
+                qs = qs / jnp.maximum(norms, 1e-30)
+            return qs, qs.shape[0]
+        if self.kind == "bit":
+            from ..types import Bit
+
+            if isinstance(q, Bit):
+                q = q.bits[None, :]
+            elif isinstance(q, (list, tuple)) and q and isinstance(q[0], Bit):
+                q = np.stack([b.bits for b in q])
+            arr = np.asarray(q, dtype=bool)
+            if arr.ndim == 1:
+                arr = arr[None, :]
+            if arr.shape[1] != t.dim:
+                raise DataException(
+                    f"different bit lengths {arr.shape[1]} and {t.dim}"
+                )
+            qw = D.pack_bits(jnp.asarray(arr))
+            return qw, qw.shape[0]
+        from ..types import SparseVec
+
+        if isinstance(q, SparseVec):
+            q = [q]
+        pq = t.nnz_cap
+        q_idx = np.full((len(q), pq), int(D.SPARSE_PAD), np.int32)
+        q_val = np.zeros((len(q), pq), np.float32)
+        for i, sv in enumerate(q):
+            if sv.dim != t.dim:
+                raise DataException(
+                    f"different sparsevec dimensions {sv.dim} and {t.dim}"
+                )
+            q_idx[i, : sv.nnz] = sv.indices
+            q_val[i, : sv.nnz] = sv.values
+        return (jnp.asarray(q_idx), jnp.asarray(q_val)), len(q)
+
+    def _elems_as_queries(self, elems: jnp.ndarray):
+        """Use stored elements as the query side (for build searches)."""
+        if self.kind == "sparse":
+            return (self.values[0][elems], self.values[1][elems])
+        return self.values[0][elems]
+
+    # ------------------------------------------------------- neighbor closures
+    def _neighbors_of_level(self, elems: jnp.ndarray, level: int) -> jnp.ndarray:
+        """Gather a (Q,)-batch of elements' neighbor lists at ``level``."""
+        safe = jnp.maximum(elems, 0)
+        if level == 0:
+            out = self.nbr0[safe]
+        else:
+            self._sync_device_meta()
+            slot = self._up_slot_dev[safe]
+            out = self.nbr_up[jnp.maximum(slot, 0), level - 1]
+            out = jnp.where(slot[:, None] >= 0, out, -1)
+        return jnp.where(elems[:, None] >= 0, out, -1)
+
+    def _scorer(self):
+        return K.make_scorer(self.kind, self.metric, self.values)
+
+    # ------------------------------------------------------------------ build
+    def build(self) -> None:
+        t = self.table
+        live = np.flatnonzero(np.asarray(t.valid[: t.count]))
+        if len(live) == 0:
+            return
+        self._insert_rows(live, initial_build=True)
+
+    def insert(self, rows) -> None:
+        """aminsert analogue (hnswinsert.c:695-743) for a batch of new rows."""
+        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        self._insert_rows(rows, initial_build=False)
+
+    # ----------------------------------------------------- core insert driver
+    def _insert_rows(self, rows: np.ndarray, initial_build: bool) -> None:
+        values, keep = self._form_values(rows)
+        rows = rows[keep]
+        if not keep.all():
+            values = jax.tree.map(lambda a: a[jnp.asarray(np.flatnonzero(keep))], values)
+        if len(rows) == 0:
+            return
+
+        # duplicate merge (InsertTupleInMemory duplicate path,
+        # hnswbuild.c:342-364; FindDuplicateOnDisk hnswinsert.c:641-663)
+        new_rows: List[int] = []
+        new_val_pos: List[int] = []
+        if self.dedup:
+            host_vals = [np.asarray(v) for v in values]
+            keys = _dup_keys(host_vals)
+            for i, row in enumerate(rows):
+                e = self._dup_index.get(keys[i])
+                if e is not None and self._attach_tid(e, int(row)):
+                    continue
+                new_rows.append(int(row))
+                new_val_pos.append(i)
+                self._dup_index[keys[i]] = self._peek_slot(len(new_rows) - 1)
+        else:
+            new_rows = [int(r) for r in rows]
+            new_val_pos = list(range(len(rows)))
+
+        if not new_rows:
+            return
+        sel = jnp.asarray(np.asarray(new_val_pos, np.int64))
+        values = jax.tree.map(lambda a: a[sel], values)
+
+        # allocate element slots + levels
+        elems = self._alloc_slots(len(new_rows))
+        lv = np.minimum(
+            np.floor(-np.log(self._rng.random(len(new_rows))) * self.ml).astype(np.int32),
+            L_MAX,
+        )
+        for j, e in enumerate(elems):
+            self.levels[e] = lv[j]
+            self.elem_rows[e, :] = -1
+            self.elem_rows[e, 0] = new_rows[j]
+            self.row_to_elem[new_rows[j]] = e
+            if lv[j] >= 1 and self.up_slot[e] < 0:
+                self.up_slot[e] = self._alloc_upper()
+        self._dirty = True
+        self._write_values(elems, values)
+
+        # wave schedule: geometric warm-up so early elements interconnect
+        order = np.arange(len(elems))
+        waves = []
+        pos, w = 0, 1
+        while pos < len(order):
+            step = min(w, self.wave_size, len(order) - pos)
+            waves.append(order[pos: pos + step])
+            pos += step
+            w *= 2
+        for wave in waves:
+            self._insert_wave(np.asarray(elems)[wave], lv[wave])
+
+    def _peek_slot(self, offset: int) -> int:
+        """Predict the element id the offset-th upcoming allocation gets."""
+        n_free = len(self.free_slots)
+        if offset < n_free:
+            return self.free_slots[n_free - 1 - offset]
+        return self.n_elems + (offset - n_free)
+
+    def _attach_tid(self, elem: int, row: int) -> bool:
+        """AddDuplicateOnDisk (hnswinsert.c:585-636): append a heap TID to
+        an existing element, max 10."""
+        if self.levels[elem] < 0:
+            return False
+        slots = self.elem_rows[elem]
+        for j in range(HEAPTIDS):
+            if slots[j] < 0:
+                slots[j] = row
+                self.row_to_elem[row] = elem
+                return True
+        return False
+
+    def _alloc_slots(self, n: int) -> List[int]:
+        out = []
+        for _ in range(n):
+            if self.free_slots:
+                out.append(self.free_slots.pop())
+            else:
+                if self.n_elems >= self.cap_e:
+                    self._grow()
+                out.append(self.n_elems)
+                self.n_elems += 1
+        return out
+
+    def _alloc_upper(self) -> int:
+        if self.n_upper >= self.cap_u:
+            new_cap = self.cap_u * 2
+            self.nbr_up = jnp.concatenate(
+                [self.nbr_up, jnp.full((new_cap - self.cap_u, L_MAX, self.m), -1, jnp.int32)]
+            )
+            self.cap_u = new_cap
+        s = self.n_upper
+        self.n_upper += 1
+        return s
+
+    def _grow(self) -> None:
+        new_cap = self.cap_e * 2
+        pad = new_cap - self.cap_e
+
+        def grow_val(a, fill):
+            return jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]
+            )
+
+        if self.kind == "sparse":
+            self.values = (
+                grow_val(self.values[0], int(D.SPARSE_PAD)),
+                grow_val(self.values[1], 0),
+            )
+        else:
+            self.values = (grow_val(self.values[0], 0),)
+        self.nbr0 = grow_val(self.nbr0, -1)
+        self.up_slot = np.concatenate([self.up_slot, np.full(pad, -1, np.int32)])
+        self.levels = np.concatenate([self.levels, np.full(pad, -1, np.int32)])
+        self.elem_rows = np.concatenate(
+            [self.elem_rows, np.full((pad, HEAPTIDS), -1, np.int64)]
+        )
+        self.cap_e = new_cap
+        self._dirty = True
+
+    def _write_values(self, elems: List[int], values: tuple) -> None:
+        e = jnp.asarray(np.asarray(elems, np.int32))
+        self.values = tuple(
+            arr.at[e].set(block) for arr, block in zip(self.values, values)
+        )
+
+    # ------------------------------------------------------------ wave insert
+    def _search_wave(self, elems: np.ndarray, lv: np.ndarray, exclude_self: bool):
+        """Batched Algorithm 1 (HnswFindElementNeighbors, hnswutils.c:1278-
+        1355): greedy ef=1 descent above each element's level, then an
+        ef_construction beam per level from its level down to 0.  Returns
+        {level: (pool_d, pool_i)} candidate pools (Q, efc)."""
+        qs = self._elems_as_queries(jnp.asarray(elems.astype(np.int32)))
+        score = self._scorer()
+        nq = len(elems)
+        efc = self.ef_construction
+        max_level = self.entry_level
+        lv_c = np.minimum(lv, max_level)  # first beam level per query
+        self_ids = jnp.asarray(elems.astype(np.int32))[:, None]
+
+        entry_arr = jnp.full((nq,), self.entry, jnp.int32)
+        cur_d = score(qs, entry_arr[:, None])[:, 0]
+        cur = entry_arr
+        pool_d = jnp.full((nq, efc), jnp.inf, jnp.float32)
+        pool_i = jnp.full((nq, efc), -1, jnp.int32)
+        pools = {}
+        for lc in range(max_level, -1, -1):
+            lm = 2 * self.m if lc == 0 else self.m
+            greedy_mask = lv < lc
+            if greedy_mask.any() and lc >= 1:
+                g_cur, g_d = K.greedy_descent(
+                    score, lambda e, l: self._neighbors_of_level(e, l),
+                    qs, cur, cur_d, lc, self.m, max_steps=512,
+                )
+                gm = jnp.asarray(greedy_mask)
+                cur = jnp.where(gm, g_cur, cur)
+                cur_d = jnp.where(gm, g_d, cur_d)
+            beam_mask = lv >= lc
+            if not beam_mask.any():
+                continue
+            first = jnp.asarray(lv_c == lc)
+            # queries starting their beam at this level seed from greedy cur
+            pool_d = jnp.where(first[:, None], jnp.inf, pool_d)
+            pool_i = jnp.where(first[:, None], -1, pool_i)
+            pool_d = pool_d.at[:, 0].set(jnp.where(first, cur_d, pool_d[:, 0]))
+            pool_i = pool_i.at[:, 0].set(jnp.where(first, cur, pool_i[:, 0]))
+            visited = jnp.zeros((nq, self.cap_e), jnp.bool_)
+            pd, pi, _ = K.search_layer(
+                score, lambda e, _lc=lc: self._neighbors_of_level(e, _lc),
+                qs, pool_d, pool_i, visited, ef=efc, lm=lm,
+                max_steps=4 * efc + 64,
+            )
+            bm = jnp.asarray(beam_mask)[:, None]
+            pool_d = jnp.where(bm, pd, pool_d)
+            pool_i = jnp.where(bm, pi, pool_i)
+            out_d, out_i = pool_d, pool_i
+            if exclude_self:
+                out_i = jnp.where(out_i == self_ids, -1, out_i)
+                out_d = jnp.where(out_i >= 0, out_d, jnp.inf)
+            pools[lc] = (out_d, out_i)
+        return pools
+
+    def _insert_wave(self, elems: np.ndarray, lv: np.ndarray) -> None:
+        """One wave: batched search + neighbor selection + connection
+        writes (the InsertTupleInMemory/UpdateGraphInMemory path,
+        hnswbuild.c:437-480, without the per-element LWLocks)."""
+        if self.entry < 0:
+            # first element becomes the entry point with no neighbors
+            self.entry = int(elems[0])
+            self.entry_level = int(lv[0])
+            elems, lv = elems[1:], lv[1:]
+            if len(elems) == 0:
+                return
+        pools = self._search_wave(elems, lv, exclude_self=False)
+        self._connect_from_pools(elems, lv, pools)
+        # entry point update (the entryLock handshake, hnswbuild.c:437-480)
+        wave_max = int(lv.max()) if len(lv) else -1
+        if wave_max > self.entry_level:
+            j = int(np.argmax(lv))
+            self.entry = int(elems[j])
+            self.entry_level = wave_max
+
+    def _connect_from_pools(self, elems: np.ndarray, lv: np.ndarray, pools) -> None:
+        for lc in sorted(pools.keys(), reverse=True):
+            lm = 2 * self.m if lc == 0 else self.m
+            mask_q = lv >= lc
+            if not mask_q.any():
+                continue
+            q_sel = np.flatnonzero(mask_q)
+            pd, pi = pools[lc]
+            pd = pd[jnp.asarray(q_sel)]
+            pi = pi[jnp.asarray(q_sel)]
+            sel_elems = self._select_for(
+                jnp.asarray(elems[q_sel].astype(np.int32)), pd, pi, lm
+            )  # (Qs, lm) element ids, -1 pad
+            self._write_own_lists(elems[q_sel], lc, sel_elems)
+            self._apply_backlinks(elems[q_sel], lc, np.asarray(sel_elems), lm)
+
+    def _select_for(self, base_elems, pool_d, pool_i, lm: int) -> jnp.ndarray:
+        """SelectNeighbors over each base element's candidate pool."""
+        base_q = self._elems_as_queries(base_elems)
+        pair = self._pairwise(pool_i)
+        valid = pool_i >= 0
+        pos = K.select_neighbors_batch(pool_d, pair, valid, lm)  # (Q, lm)
+        sel = jnp.take_along_axis(pool_i, jnp.maximum(pos, 0), axis=1)
+        return jnp.where(pos >= 0, sel, -1)
+
+    def _pairwise(self, elems: jnp.ndarray) -> jnp.ndarray:
+        """(Q, C, C) stored distances among candidate elements."""
+        score = self._scorer()
+        c = elems.shape[1]
+
+        def per_q(e_row):
+            q_rep = self._elems_as_queries(e_row)
+            d = score(q_rep, jnp.broadcast_to(e_row[None, :], (c, c)))
+            return jnp.where((e_row[:, None] >= 0) & (e_row[None, :] >= 0), d, jnp.inf)
+
+        return jax.lax.map(per_q, elems)
+
+    def _write_own_lists(self, elems: np.ndarray, level: int, sel: jnp.ndarray) -> None:
+        e = jnp.asarray(elems.astype(np.int32))
+        if level == 0:
+            self.nbr0 = self.nbr0.at[e].set(sel)
+        else:
+            slots = jnp.asarray(self.up_slot[elems])
+            self.nbr_up = self.nbr_up.at[slots, level - 1].set(sel)
+
+    def _apply_backlinks(
+        self, src_elems: np.ndarray, level: int, sel: np.ndarray, lm: int
+    ) -> None:
+        """HnswUpdateConnection for every (new element → neighbor) edge:
+        group by target, then one select per target over old ∪ new
+        (hnswutils.c:1181-1229)."""
+        pairs: Dict[int, List[int]] = {}
+        for j, e in enumerate(src_elems):
+            for n in sel[j]:
+                if n >= 0:
+                    pairs.setdefault(int(n), []).append(int(e))
+        if not pairs:
+            return
+        targets = np.array(sorted(pairs.keys()), np.int32)
+        smax = max(len(v) for v in pairs.values())
+        smax = _round_up(smax, 4)
+        new_src = np.full((len(targets), smax), -1, np.int32)
+        for i, t in enumerate(targets):
+            srcs = pairs[int(t)][:smax]
+            new_src[i, : len(srcs)] = srcs
+        t_dev = jnp.asarray(targets)
+        s_dev = jnp.asarray(new_src)
+        old = self._neighbors_of_level(t_dev, level)  # (T, lm)
+        cand = jnp.concatenate([old, s_dev], axis=1)  # (T, lm + S)
+        # dists of candidates to target
+        score = self._scorer()
+        t_rep = self._elems_as_queries(t_dev)
+        base_d = score(t_rep, cand)
+        pair = self._pairwise(cand)
+        pos = K.select_neighbors_batch(base_d, pair, cand >= 0, lm)
+        new_lists = jnp.where(
+            pos >= 0, jnp.take_along_axis(cand, jnp.maximum(pos, 0), axis=1), -1
+        )
+        if level == 0:
+            self.nbr0 = self.nbr0.at[t_dev].set(new_lists)
+        else:
+            slots = jnp.asarray(self.up_slot[targets])
+            self.nbr_up = self.nbr_up.at[slots, level - 1].set(new_lists)
+
+    # ------------------------------------------------------------------ search
+    def search(
+        self,
+        q,
+        k: int,
+        ef_search: Optional[int] = None,
+        filter_mask: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Algorithm 5 scan (hnswscan.c).  Returns (operator distances,
+        row ids), -1/inf padded.  Without iterative scans the result count
+        is capped at ef_search (README.md:933-935)."""
+        ef = int(ef_search if ef_search is not None else config.get("hnsw.ef_search"))
+        iterative = config.get("hnsw.iterative_scan") != "off"
+        max_tuples = int(config.get("hnsw.max_scan_tuples"))
+        qs, nq = self._query_rep(q)
+
+        if self.entry < 0:
+            return (np.full((nq, k), np.inf, np.float32), np.full((nq, k), -1, np.int64))
+
+        fmask = jnp.asarray(filter_mask, dtype=bool) if filter_mask is not None else None
+        ef_eff = ef
+        while True:
+            d, r = self._search_once(qs, nq, k, ef_eff, fmask)
+            if not iterative:
+                break
+            found = int(np.min(np.sum(np.isfinite(np.asarray(d)), axis=1)))
+            if found >= min(k, ef_eff) or ef_eff >= max_tuples:
+                break
+            ef_eff = min(ef_eff * 2, max_tuples)
+        return np.asarray(d), np.asarray(r)
+
+    def _search_once(self, qs, nq: int, k: int, ef: int, fmask):
+        score = self._scorer()
+        entry_arr = jnp.full((nq,), self.entry, jnp.int32)
+        cur_d = score(qs, entry_arr[:, None])[:, 0]
+        cur = entry_arr
+        for lc in range(self.entry_level, 0, -1):
+            cur, cur_d = K.greedy_descent(
+                score, lambda e, l: self._neighbors_of_level(e, l),
+                qs, cur, cur_d, lc, self.m, max_steps=512,
+            )
+        visited = jnp.zeros((nq, self.cap_e), jnp.bool_)
+        pool_d, pool_i, _ = K.search_layer(
+            score, lambda e: self._neighbors_of_level(e, 0),
+            qs, cur_d[:, None], cur[:, None], visited,
+            ef=ef, lm=2 * self.m, max_steps=8 * ef + 64,
+        )
+        # expand heap TIDs (hnswscan.c:286-303 emits each element's tids)
+        elem_rows_dev = jnp.asarray(self.elem_rows)
+        safe = jnp.maximum(pool_i, 0)
+        rows = elem_rows_dev[safe].reshape(nq, -1)  # (Q, ef*HEAPTIDS)
+        rd = jnp.repeat(pool_d, HEAPTIDS, axis=1)
+        rows = jnp.where(jnp.repeat(pool_i, HEAPTIDS, axis=1) >= 0, rows, -1)
+        ok = rows >= 0
+        safe_rows = jnp.maximum(rows, 0)
+        ok = ok & self.table.valid[safe_rows]
+        if fmask is not None:
+            ok = ok & fmask[safe_rows]
+        rd = jnp.where(ok, rd, jnp.inf)
+        d, r = topk_smallest(rd, min(k, rd.shape[1]), ids=rows.astype(jnp.int32))
+        if d.shape[1] < k:
+            pad = k - d.shape[1]
+            d = jnp.concatenate([d, jnp.full((nq, pad), jnp.inf, d.dtype)], axis=1)
+            r = jnp.concatenate([r, jnp.full((nq, pad), -1, r.dtype)], axis=1)
+        r = jnp.where(jnp.isinf(d), -1, r)
+        return self._user_dist(d), r
+
+    def _user_dist(self, stored: jnp.ndarray) -> jnp.ndarray:
+        if self.metric is Metric.L2:
+            return jnp.where(jnp.isinf(stored), stored, jnp.sqrt(jnp.maximum(stored, 0.0)))
+        if self.metric is Metric.COSINE:
+            return jnp.where(jnp.isinf(stored), stored, 1.0 + stored)
+        return stored
+
+    # ------------------------------------------------------------------ vacuum
+    def vacuum(self) -> None:
+        """hnswbulkdelete's 4 passes (hnswvacuum.c:777-797), wave-batched."""
+        valid_rows = np.asarray(self.table.valid)
+        # pass 1: RemoveHeapTids (hnswvacuum.c:35-173)
+        live_elems = np.flatnonzero(self.levels >= 0)
+        deleting: List[int] = []
+        for e in live_elems:
+            tids = self.elem_rows[e]
+            keep = [int(r) for r in tids if r >= 0 and valid_rows[r]]
+            self.elem_rows[e, :] = -1
+            self.elem_rows[e, : len(keep)] = keep
+            if not keep:
+                deleting.append(int(e))
+        if not deleting:
+            return
+        deleting_set = set(deleting)
+        dead_mask = np.zeros(self.cap_e, bool)
+        dead_mask[deleting] = True
+        dead_dev = jnp.asarray(dead_mask)
+
+        # pass 2: RepairGraph (hnswvacuum.c:378-502)
+        # 2a. entry point replacement (RepairGraphEntryPoint :279-373)
+        if self.entry in deleting_set:
+            survivors = [e for e in live_elems if e not in deleting_set]
+            if survivors:
+                lvls = self.levels[survivors]
+                j = int(np.argmax(lvls))
+                self.entry = int(survivors[j])
+                self.entry_level = int(lvls[j])
+            else:
+                self.entry, self.entry_level = -1, -1
+        # 2b. strip dead ids from all neighbor lists
+        self.nbr0 = jnp.where(dead_dev[jnp.maximum(self.nbr0, 0)] & (self.nbr0 >= 0),
+                              -1, self.nbr0)
+        self.nbr_up = jnp.where(dead_dev[jnp.maximum(self.nbr_up, 0)] & (self.nbr_up >= 0),
+                                -1, self.nbr_up)
+        # 2c. re-link affected elements: those with non-full level-0 lists
+        # (NeedsUpdated also repairs short lists, hnswvacuum.c:211-215)
+        if self.entry >= 0:
+            nbr0_host = np.asarray(self.nbr0[: self.n_elems])
+            lens = (nbr0_host >= 0).sum(axis=1)
+            affected = np.flatnonzero(
+                (self.levels[: self.n_elems] >= 0) & ~dead_mask[: self.n_elems]
+                & (lens < 2 * self.m)
+            )
+            # only repair elements that actually lost an edge or are new-ishly
+            # sparse; reference recomputes from scratch via search
+            if len(affected):
+                self._repair_elements(affected)
+
+        # pass 3: ConfirmRepaired (hnswvacuum.c:507-589)
+        bad0 = jnp.any(dead_dev[jnp.maximum(self.nbr0, 0)] & (self.nbr0 >= 0))
+        badu = jnp.any(dead_dev[jnp.maximum(self.nbr_up, 0)] & (self.nbr_up >= 0))
+        if bool(bad0) or bool(badu):
+            raise InternalError("hnsw graph not repaired")
+
+        # pass 4: MarkDeleted (hnswvacuum.c:594-729) — free slots for reuse
+        for e in deleting:
+            for r in self.elem_rows[e]:
+                if r >= 0:
+                    self.row_to_elem.pop(int(r), None)
+            self.levels[e] = -1
+            self.elem_rows[e, :] = -1
+            self.free_slots.append(int(e))
+        # zero their value data so dedup keys can't match (MarkDeleted zeroes
+        # vector data, hnswvacuum.c:694-699)
+        dele = jnp.asarray(np.asarray(deleting, np.int32))
+        if self.kind == "sparse":
+            self.values = (
+                self.values[0].at[dele].set(int(D.SPARSE_PAD)),
+                self.values[1].at[dele].set(0),
+            )
+        else:
+            self.values = (self.values[0].at[dele].set(0),)
+        self.nbr0 = self.nbr0.at[dele].set(-1)
+        up = [self.up_slot[e] for e in deleting if self.up_slot[e] >= 0]
+        if up:
+            self.nbr_up = self.nbr_up.at[jnp.asarray(np.asarray(up, np.int32))].set(-1)
+        if self.dedup:
+            self._dup_index = {
+                key: e for key, e in self._dup_index.items() if e not in deleting_set
+            }
+        self._dirty = True
+
+    def _repair_elements(self, elems: np.ndarray) -> None:
+        """RepairGraphElement (hnswvacuum.c:225-274): recompute neighbors
+        from scratch with a fresh search wave and overwrite the lists."""
+        lv = self.levels[elems]
+        for start in range(0, len(elems), self.wave_size):
+            chunk = elems[start: start + self.wave_size]
+            self._insert_wave_repair(chunk, lv[start: start + self.wave_size])
+
+    def _insert_wave_repair(self, elems: np.ndarray, lv: np.ndarray) -> None:
+        """Like _insert_wave but for existing elements (existing=true search,
+        hnswutils.c:1278): self-links excluded from candidate pools."""
+        if self.entry < 0 or len(elems) == 0:
+            return
+        pools = self._search_wave(elems, lv, exclude_self=True)
+        self._connect_from_pools(elems, lv, pools)
+
+    # ------------------------------------------------------------- statistics
+    @property
+    def live_elements(self) -> int:
+        return int((self.levels >= 0).sum())
+
+
+def _dup_keys(host_vals: List[np.ndarray]) -> List[bytes]:
+    n = host_vals[0].shape[0]
+    return [
+        b"".join(arr[i].tobytes() for arr in host_vals) for i in range(n)
+    ]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

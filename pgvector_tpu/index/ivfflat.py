@@ -1,0 +1,439 @@
+"""IVFFlat index — the TPU rewrite of src/ivfflat.c + ivfbuild.c +
+ivfkmeans.c + ivfscan.c + ivfinsert.c + ivfvacuum.c.
+
+Layout translation (SURVEY.md §7): centroids are an HBM ``f32[lists, D]``
+block; posting lists are a padded ``int32[lists, cap]`` row-id matrix (the
+array-ified page chains of ivfbuild.c:271-331).  Build phases mirror the
+reference's four progress phases (ivfflat.c:64-80):
+
+1. *sampling* — reservoir sample of ``max(50·lists, 10000)`` live rows
+   (ivfbuild.c:434-480),
+2. *performing k-means* — k-means++ + Lloyd's on the MXU (ivf_kmeans.py),
+3. *assigning tuples* — one argmin matmul over all rows (the parallel
+   tuplesort of ivfbuild.c:971-1035 collapses into an argsort),
+4. *loading tuples* — scatter row ids into the posting matrix.
+
+Scan (ivfscan.c): distances to all centers → ``probes`` nearest lists →
+gather candidates → exact distances → top-k; iterative scans
+(ivfflat.iterative_scan=relaxed_order) fetch the next probe batch until
+enough results pass the filter, capped at max_probes (ivfscan.c:268-277,
+400-406).
+
+Supported opclasses match the reference (sql/vector.sql:406-425, 819-841,
+894-899): vector/halfvec × {l2, ip, cosine} and bit × hamming.  Cosine
+indexes store normalized vectors and order by negative IP
+(sql/vector.sql:412-425); zero-norm vectors are not indexed
+(ivfbuild.c:174-179) and inserts of them are skipped (ivfinsert.c:91-100).
+Vacuum drops dead ids from postings and never retrains centers
+(ivfvacuum.c:18-143).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..errors import DataException, FeatureNotSupported
+from ..ops import distance as D
+from ..ops.metric import Metric
+from ..ops.topk import merge_topk, topk_smallest
+from ..store.table import BitTable, DenseTable
+from .ivf_kmeans import train_centers
+
+#: reloption bounds — src/ivfflat.h:54-58
+DEFAULT_LISTS = 100
+MIN_LISTS, MAX_LISTS = 1, 32768
+
+#: per-type dimension caps for this AM (IvfflatTypeInfo, src/ivfutils.c:282-423)
+MAX_DIM_F32 = 2000
+MAX_DIM_F16 = 4000
+MAX_DIM_BIT = 64000
+
+DENSE_OPCLASSES = (Metric.L2, Metric.IP, Metric.COSINE)
+BIT_OPCLASSES = (Metric.HAMMING,)
+
+
+class IVFFlatIndex:
+    """An IVFFlat access method over a DenseTable or BitTable."""
+
+    def __init__(
+        self,
+        table,
+        metric: Metric,
+        lists: int = DEFAULT_LISTS,
+        seed: int = 0,
+        build: bool = True,
+        notice_hook=None,
+    ):
+        if not MIN_LISTS <= lists <= MAX_LISTS:
+            raise DataException(
+                f'value {lists} out of bounds for option "lists"'
+            )
+        self.table = table
+        self.metric = metric
+        self.lists = lists
+        self.seed = seed
+        self.notice_hook = notice_hook or (lambda msg: None)
+        self._is_bit = isinstance(table, BitTable)
+        if self._is_bit:
+            if metric not in BIT_OPCLASSES:
+                raise FeatureNotSupported(
+                    f"operator class bit_{metric.name.lower()}_ops does not exist for ivfflat"
+                )
+            if table.dim > MAX_DIM_BIT:
+                raise DataException(
+                    f"column cannot have more than {MAX_DIM_BIT} dimensions for ivfflat index"
+                )
+        else:
+            if metric not in DENSE_OPCLASSES:
+                raise FeatureNotSupported(
+                    f"operator {metric.op} is not supported by ivfflat"
+                )
+            cap = MAX_DIM_F16 if table.dtype != jnp.float32 else MAX_DIM_F32
+            if table.dim > cap:
+                raise DataException(
+                    f"column cannot have more than {cap} dimensions for ivfflat index"
+                )
+        # index state
+        self.centroids: Optional[jnp.ndarray] = None  # dense f32 / packed uint32 for bit
+        self.centroids_f32: Optional[jnp.ndarray] = None  # float view for bit kmeans
+        self.postings: Optional[jnp.ndarray] = None  # (lists, cap) int32, -1 pad
+        self.list_lens: Optional[np.ndarray] = None  # host (lists,)
+        self.indexed_mask: Optional[np.ndarray] = None  # host: which rows are indexed
+        if build:
+            self.build()
+
+    # ------------------------------------------------------------------ build
+    @property
+    def _normalized(self) -> bool:
+        return self.metric is Metric.COSINE
+
+    @property
+    def _spherical(self) -> bool:
+        """IP and cosine opclasses both use spherical k-means: assignment by
+        angular order (argmax ip) with centers re-normalized each round
+        (KMEANS_DISTANCE/KMEANS_NORM wiring, sql/vector.sql:412-425)."""
+        return self.metric in (Metric.IP, Metric.COSINE)
+
+    def _index_values(self, rows: np.ndarray) -> Tuple[jnp.ndarray, np.ndarray]:
+        """Fetch + form index values for given row ids: normalize for
+        cosine (HnswFormIndexValue analogue ivfbuild.c:161-179), unpack for
+        bit.  Returns (values_f32, keep_mask) — zero-norm rows are dropped
+        for cosine."""
+        t = self.table
+        if self._is_bit:
+            words = t.data[jnp.asarray(rows)]
+            bits = _unpack_words(words, t.dim)
+            return bits, np.ones(len(rows), bool)
+        vals = t.data[jnp.asarray(rows)].astype(jnp.float32)
+        if self._normalized:
+            norms = np.asarray(jnp.sqrt(jnp.sum(vals * vals, axis=1)))
+            keep = norms > 0
+            vals = vals / jnp.maximum(jnp.asarray(norms)[:, None], 1e-30)
+            return vals, keep
+        return vals, np.ones(len(rows), bool)
+
+    def build(self) -> None:
+        """BuildIndex — ivfbuild.c:1040-1060."""
+        t = self.table
+        live = np.flatnonzero(np.asarray(t.valid[: t.count]))
+        n_live = len(live)
+        rng = np.random.default_rng(self.seed)
+
+        # phase 1: sample (SampleRows reservoir, ivfbuild.c:132-156)
+        target = max(50 * self.lists, 10000)
+        if n_live == 0:
+            sample_rows = np.zeros(0, np.int64)
+        elif n_live <= target:
+            sample_rows = live
+        else:
+            sample_rows = rng.choice(live, size=target, replace=False)
+        if n_live < self.lists:
+            self.notice_hook(
+                "ivfflat index created with little data\n"
+                "DETAIL:  This will cause low recall.\n"
+                "HINT:  Drop the index until the table has more data."
+            )
+
+        # phase 2: k-means
+        if len(sample_rows) == 0:
+            # RandomCenters on empty table (ivfkmeans.c:110-133)
+            dim = self.table.dim
+            centers = jnp.asarray(
+                rng.random((self.lists, dim)).astype(np.float32)
+            )
+            if self._is_bit:
+                centers = (centers > 0.5).astype(jnp.float32)
+            elif self._normalized:
+                centers = centers / jnp.maximum(
+                    jnp.linalg.norm(centers, axis=1, keepdims=True), 1e-30
+                )
+        else:
+            samples, keep = self._index_values(sample_rows)
+            if not keep.all():
+                samples = samples[jnp.asarray(np.flatnonzero(keep))]
+            centers = train_centers(
+                samples,
+                self.lists,
+                spherical=self._spherical,
+                binary=self._is_bit,
+                normalize_data=self._normalized,
+                seed=self.seed,
+            )
+        self.centroids_f32 = centers
+        if self._is_bit:
+            self.centroids = D.pack_bits(centers > 0.5)
+        else:
+            self.centroids = centers
+
+        # phases 3+4: assign + load
+        self._assign_all(live)
+
+    def _assign_all(self, rows: np.ndarray) -> None:
+        """Assignment matmul + posting scatter (ivfbuild.c:971-1035)."""
+        n_total = self.table.capacity
+        assignments = np.full(n_total, -1, np.int64)
+        if len(rows):
+            chunk = 65536
+            for s in range(0, len(rows), chunk):
+                rs = rows[s: s + chunk]
+                vals, keep = self._index_values(rs)
+                a = np.array(self._nearest_center(vals))
+                a[~keep] = -1  # zero-norm cosine rows not indexed
+                assignments[rs] = a
+        self._load_postings(assignments)
+
+    def _nearest_center(self, vals: jnp.ndarray) -> jnp.ndarray:
+        if self._is_bit:
+            # hamming order == L2 order on unpacked bits vs binary centers
+            c = self.centroids_f32
+        else:
+            c = self.centroids
+        ip = jax.lax.dot_general(
+            vals, c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=D.dot_precision(),
+        )
+        if self._spherical:
+            return jnp.argmax(ip, axis=1).astype(jnp.int32)
+        c_sq = jnp.sum(c * c, axis=1)
+        return jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=1).astype(jnp.int32)
+
+    def _load_postings(self, assignments: np.ndarray) -> None:
+        counts = np.bincount(
+            assignments[assignments >= 0], minlength=self.lists
+        )
+        cap = max(8, _next_pow2(int(counts.max()) if counts.size else 1))
+        postings = np.full((self.lists, cap), -1, np.int32)
+        fill = np.zeros(self.lists, np.int64)
+        for row in np.flatnonzero(assignments >= 0):
+            lst = assignments[row]
+            postings[lst, fill[lst]] = row
+            fill[lst] += 1
+        self.postings = jnp.asarray(postings)
+        self.list_lens = fill.astype(np.int64)
+        self.assignments = assignments
+        self.indexed_mask = assignments >= 0
+
+    # ----------------------------------------------------------------- insert
+    def insert(self, rows) -> None:
+        """aminsert — assign new rows to their nearest list
+        (FindInsertPage ivfinsert.c:19-67) and append to the posting matrix."""
+        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        if self.postings is None:
+            raise DataException("index has not been built")
+        vals, keep = self._index_values(rows)
+        a = np.array(self._nearest_center(vals))
+        a[~keep] = -1
+        # grow bookkeeping to table capacity
+        if len(self.assignments) < self.table.capacity:
+            grown = np.full(self.table.capacity, -1, np.int64)
+            grown[: len(self.assignments)] = self.assignments
+            self.assignments = grown
+        post = np.asarray(self.postings)
+        cap = post.shape[1]
+        need = int(np.max(self.list_lens[a[a >= 0]] + 1)) if (a >= 0).any() else 0
+        # count final per-list fill to size capacity
+        extra = np.bincount(a[a >= 0], minlength=self.lists)
+        if (self.list_lens + extra).max() > cap:
+            new_cap = _next_pow2(int((self.list_lens + extra).max()))
+            post = np.concatenate(
+                [post, np.full((self.lists, new_cap - cap), -1, np.int32)], axis=1
+            )
+        for row, lst in zip(rows, a):
+            self.assignments[row] = lst
+            if lst >= 0:
+                post[lst, self.list_lens[lst]] = row
+                self.list_lens[lst] += 1
+        self.postings = jnp.asarray(post)
+        self.indexed_mask = self.assignments >= 0
+
+    # ----------------------------------------------------------------- vacuum
+    def vacuum(self) -> None:
+        """ivfflatbulkdelete — drop dead ids; centers never retrained
+        (ivfvacuum.c:18-143)."""
+        valid = np.asarray(self.table.valid)
+        assignments = self.assignments.copy()
+        dead = ~valid[: len(assignments)]
+        assignments[: len(dead)][dead] = -1
+        self._load_postings(assignments)
+
+    # ----------------------------------------------------------------- search
+    def _form_queries(self, q) -> jnp.ndarray:
+        t = self.table
+        if self._is_bit:
+            from ..types import Bit
+
+            if isinstance(q, Bit):
+                q = q.bits[None, :]
+            elif isinstance(q, (list, tuple)) and q and isinstance(q[0], Bit):
+                q = np.stack([b.bits for b in q])
+            arr = np.asarray(q, dtype=bool)
+            if arr.ndim == 1:
+                arr = arr[None, :]
+            if arr.shape[1] != t.dim:
+                raise DataException(
+                    f"different bit lengths {arr.shape[1]} and {t.dim}"
+                )
+            return _unpack_words(D.pack_bits(jnp.asarray(arr)), t.dim)
+        from .flat import _coerce_dense_queries
+
+        qs = _coerce_dense_queries(q, t.dim)
+        if self._normalized:
+            norms = jnp.sqrt(jnp.sum(qs * qs, axis=1, keepdims=True))
+            qs = qs / jnp.maximum(norms, 1e-30)  # GetScanValue normalize
+        return qs
+
+    def search(
+        self,
+        q,
+        k: int,
+        probes: Optional[int] = None,
+        filter_mask: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k scan.  Returns (operator distances, row ids), -1/inf padded.
+
+        ``probes`` defaults to the ``ivfflat.probes`` GUC; when
+        ``ivfflat.iterative_scan`` is ``relaxed_order``, additional probe
+        batches run until k results pass the filter or ``ivfflat.max_probes``
+        is reached (ivfscan.c:268-277, 400-406).
+        """
+        if self.postings is None:
+            raise DataException("index has not been built")
+        probes = int(probes if probes is not None else config.get("ivfflat.probes"))
+        iterative = config.get("ivfflat.iterative_scan") != "off"
+        max_probes = (
+            max(int(config.get("ivfflat.max_probes")), probes)
+            if iterative
+            else probes
+        )
+        probes = min(probes, self.lists)
+        max_probes = min(max_probes, self.lists)
+
+        qs = self._form_queries(q)
+        nq = qs.shape[0]
+        order = self._probe_order(qs, max_probes)  # (Q, max_probes)
+
+        valid = self.table.valid
+        fmask = (
+            jnp.asarray(filter_mask, dtype=bool)
+            if filter_mask is not None
+            else None
+        )
+
+        best_d = jnp.full((nq, k), jnp.inf, jnp.float32)
+        best_i = jnp.full((nq, k), -1, jnp.int32)
+        off = 0
+        while off < max_probes:
+            batch = min(probes, max_probes - off)
+            d, i = self._probe_batch(qs, order, off, batch, k, valid, fmask)
+            best_d, best_i = merge_topk(best_d, best_i, d, i, k)
+            off += batch
+            if not iterative:
+                break
+            found = int(jnp.min(jnp.sum(jnp.isfinite(best_d), axis=1)))
+            if found >= k:
+                break
+        best_i = jnp.where(jnp.isinf(best_d), -1, best_i)
+        return np.asarray(self._user_dist(best_d)), np.asarray(best_i)
+
+    def _user_dist(self, stored: jnp.ndarray) -> jnp.ndarray:
+        if self.metric is Metric.L2:
+            return jnp.where(jnp.isinf(stored), stored, jnp.sqrt(jnp.maximum(stored, 0.0)))
+        if self.metric is Metric.COSINE:
+            return jnp.where(jnp.isinf(stored), stored, 1.0 + stored)
+        return stored
+
+    def _probe_order(self, qs: jnp.ndarray, max_probes: int) -> jnp.ndarray:
+        """GetScanLists — distance to every list center, nearest-first
+        (ivfscan.c:47-118)."""
+        if self._is_bit:
+            scores = D.dense_scores(Metric.L2, qs, self.centroids_f32)
+        elif self._spherical:
+            # probe order = angular distance to centers (GetScanLists uses
+            # the KMEANS_DISTANCE proc); equals -ip since centers are unit
+            scores = D.dense_scores(Metric.IP, qs, self.centroids)
+        else:
+            scores = D.dense_scores(self.metric, qs, self.centroids)
+        _, order = jax.lax.top_k(-scores, max_probes)
+        return order
+
+    def _probe_batch(self, qs, order, off, batch, k, valid, fmask):
+        """GetScanItems for one probe window — gather candidate rows of the
+        selected lists, exact distances, per-query top-k (ivfscan.c:123-187)."""
+        t = self.table
+        sel = jax.lax.dynamic_slice(
+            order, (0, off), (order.shape[0], batch)
+        )  # (Q, batch)
+        cand = self.postings[sel].reshape(qs.shape[0], -1)  # (Q, C)
+        data = t.data
+        metric = self.metric
+        is_bit = self._is_bit
+        normalized = self._normalized
+
+        def per_query(args):
+            qv, cand_q = args
+            safe = jnp.maximum(cand_q, 0)
+            ok = (cand_q >= 0) & valid[safe]
+            if fmask is not None:
+                ok = ok & fmask[safe]
+            vec = data[safe]
+            if is_bit:
+                qw = D.pack_bits(qv[None, :] > 0.5)
+                s = D.bit_scores(metric, qw, vec)[0]
+            elif normalized:
+                # cosine opclasses index *normalized* values and order by
+                # -ip (sql/vector.sql:437-441); the table holds raw vectors,
+                # so normalize candidates on the fly (cheap vs. the gather)
+                vf = vec.astype(jnp.float32)
+                norms = jnp.sqrt(jnp.sum(vf * vf, axis=-1, keepdims=True))
+                vf = vf / jnp.maximum(norms, 1e-30)
+                s = D.dense_scores(Metric.IP, qv[None, :], vf)[0]
+            else:
+                s = D.dense_scores(metric, qv[None, :], vec)[0]
+            s = jnp.where(ok, s, jnp.inf)
+            return topk_smallest(s[None, :], k, ids=cand_q[None, :])
+
+        d, i = jax.lax.map(per_query, (qs, cand))
+        return d[:, 0], i[:, 0]
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < max(n, 1):
+        p *= 2
+    return p
+
+
+def _unpack_words(words: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """(…, W) uint32 → (…, dim) f32 in {0,1}, MSB-first."""
+    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    bits = (words[..., :, None] >> shifts) & jnp.uint32(1)
+    flat = bits.reshape(words.shape[:-1] + (words.shape[-1] * 32,))
+    return flat[..., :dim].astype(jnp.float32)
