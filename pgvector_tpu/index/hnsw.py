@@ -147,6 +147,10 @@ class HNSWIndex:
             raise FeatureNotSupported(f"hnsw does not support {type(table).__name__}")
 
         self._rng = np.random.default_rng(seed)
+        #: static unroll depth for upper levels; element levels are clamped
+        #: to this (the reference clamps to a page-size bound, hnsw.h:133).
+        #: 4 covers graphs to ~m^5 elements; raise for larger corpora.
+        self._l_unroll = int(__import__("os").environ.get("PGVECTOR_TPU_L_UNROLL", 4))
         self._init_graph(capacity=1024)
         if build:
             self.build()
@@ -169,7 +173,7 @@ class HNSWIndex:
         self.nbr_up = jnp.full((self.cap_u, L_MAX, self.m), -1, jnp.int32)
         self.up_slot = np.full(capacity, -1, np.int32)
         self.levels = np.full(capacity, -1, np.int32)
-        self.elem_rows = np.full((capacity, HEAPTIDS), -1, np.int64)
+        self.elem_rows = np.full((capacity, HEAPTIDS), -1, np.int32)
         self.n_elems = 0
         self.n_upper = 0
         self.entry: int = -1
@@ -179,12 +183,14 @@ class HNSWIndex:
         self._dup_index: Dict[bytes, int] = {}
         self._up_slot_dev: Optional[jnp.ndarray] = None
         self._levels_dev: Optional[jnp.ndarray] = None
+        self._elem_rows_dev: Optional[jnp.ndarray] = None
         self._dirty = True
 
     def _sync_device_meta(self) -> None:
         if self._dirty:
             self._up_slot_dev = jnp.asarray(self.up_slot)
             self._levels_dev = jnp.asarray(self.levels)
+            self._elem_rows_dev = jnp.asarray(self.elem_rows)
             self._dirty = False
 
     # ----------------------------------------------------------- index values
@@ -321,7 +327,7 @@ class HNSWIndex:
         elems = self._alloc_slots(len(new_rows))
         lv = np.minimum(
             np.floor(-np.log(self._rng.random(len(new_rows))) * self.ml).astype(np.int32),
-            L_MAX,
+            self._l_unroll,
         )
         for j, e in enumerate(elems):
             self.levels[e] = lv[j]
@@ -362,6 +368,7 @@ class HNSWIndex:
             if slots[j] < 0:
                 slots[j] = row
                 self.row_to_elem[row] = elem
+                self._dirty = True
                 return True
         return False
 
@@ -408,7 +415,7 @@ class HNSWIndex:
         self.up_slot = np.concatenate([self.up_slot, np.full(pad, -1, np.int32)])
         self.levels = np.concatenate([self.levels, np.full(pad, -1, np.int32)])
         self.elem_rows = np.concatenate(
-            [self.elem_rows, np.full((pad, HEAPTIDS), -1, np.int64)]
+            [self.elem_rows, np.full((pad, HEAPTIDS), -1, np.int32)]
         )
         self.cap_e = new_cap
         self._dirty = True
@@ -421,58 +428,26 @@ class HNSWIndex:
 
     # ------------------------------------------------------------ wave insert
     def _search_wave(self, elems: np.ndarray, lv: np.ndarray, exclude_self: bool):
-        """Batched Algorithm 1 (HnswFindElementNeighbors, hnswutils.c:1278-
-        1355): greedy ef=1 descent above each element's level, then an
-        ef_construction beam per level from its level down to 0.  Returns
-        {level: (pool_d, pool_i)} candidate pools (Q, efc)."""
-        qs = self._elems_as_queries(jnp.asarray(elems.astype(np.int32)))
-        score = self._scorer()
+        """Batched Algorithm 1 via the jitted wave_search kernel.  Wave
+        sizes are padded to powers of two so jit caches stay small."""
+        self._sync_device_meta()
         nq = len(elems)
-        efc = self.ef_construction
-        max_level = self.entry_level
-        lv_c = np.minimum(lv, max_level)  # first beam level per query
-        self_ids = jnp.asarray(elems.astype(np.int32))[:, None]
-
-        entry_arr = jnp.full((nq,), self.entry, jnp.int32)
-        cur_d = score(qs, entry_arr[:, None])[:, 0]
-        cur = entry_arr
-        pool_d = jnp.full((nq, efc), jnp.inf, jnp.float32)
-        pool_i = jnp.full((nq, efc), -1, jnp.int32)
+        nq_pad = _round_pow2(max(nq, 8))
+        e_pad = np.concatenate([elems, np.full(nq_pad - nq, elems[0], elems.dtype)])
+        lv_pad = np.concatenate([lv, np.zeros(nq_pad - nq, lv.dtype)])
+        qs = self._elems_as_queries(jnp.asarray(e_pad.astype(np.int32)))
+        wave_fn = K.wave_search_host if K.use_host_loop() else K.wave_search
+        out_d, out_i = wave_fn(
+            self.kind, self.metric, self.values,
+            self.nbr0, self.nbr_up, self._up_slot_dev,
+            qs, jnp.asarray(e_pad.astype(np.int32)), jnp.asarray(lv_pad.astype(np.int32)),
+            jnp.int32(self.entry), jnp.int32(self.entry_level),
+            ef=self.ef_construction, m=self.m,
+            l_unroll=self._l_unroll, exclude_self=exclude_self,
+        )
         pools = {}
-        for lc in range(max_level, -1, -1):
-            lm = 2 * self.m if lc == 0 else self.m
-            greedy_mask = lv < lc
-            if greedy_mask.any() and lc >= 1:
-                g_cur, g_d = K.greedy_descent(
-                    score, lambda e, l: self._neighbors_of_level(e, l),
-                    qs, cur, cur_d, lc, self.m, max_steps=512,
-                )
-                gm = jnp.asarray(greedy_mask)
-                cur = jnp.where(gm, g_cur, cur)
-                cur_d = jnp.where(gm, g_d, cur_d)
-            beam_mask = lv >= lc
-            if not beam_mask.any():
-                continue
-            first = jnp.asarray(lv_c == lc)
-            # queries starting their beam at this level seed from greedy cur
-            pool_d = jnp.where(first[:, None], jnp.inf, pool_d)
-            pool_i = jnp.where(first[:, None], -1, pool_i)
-            pool_d = pool_d.at[:, 0].set(jnp.where(first, cur_d, pool_d[:, 0]))
-            pool_i = pool_i.at[:, 0].set(jnp.where(first, cur, pool_i[:, 0]))
-            visited = jnp.zeros((nq, self.cap_e), jnp.bool_)
-            pd, pi, _ = K.search_layer(
-                score, lambda e, _lc=lc: self._neighbors_of_level(e, _lc),
-                qs, pool_d, pool_i, visited, ef=efc, lm=lm,
-                max_steps=4 * efc + 64,
-            )
-            bm = jnp.asarray(beam_mask)[:, None]
-            pool_d = jnp.where(bm, pd, pool_d)
-            pool_i = jnp.where(bm, pi, pool_i)
-            out_d, out_i = pool_d, pool_i
-            if exclude_self:
-                out_i = jnp.where(out_i == self_ids, -1, out_i)
-                out_d = jnp.where(out_i >= 0, out_d, jnp.inf)
-            pools[lc] = (out_d, out_i)
+        for lc in range(min(self.entry_level, int(lv.max())) , -1, -1):
+            pools[lc] = (out_d[lc, :nq], out_i[lc, :nq])
         return pools
 
     def _insert_wave(self, elems: np.ndarray, lv: np.ndarray) -> None:
@@ -513,24 +488,9 @@ class HNSWIndex:
 
     def _select_for(self, base_elems, pool_d, pool_i, lm: int) -> jnp.ndarray:
         """SelectNeighbors over each base element's candidate pool."""
-        base_q = self._elems_as_queries(base_elems)
-        pair = self._pairwise(pool_i)
-        valid = pool_i >= 0
-        pos = K.select_neighbors_batch(pool_d, pair, valid, lm)  # (Q, lm)
-        sel = jnp.take_along_axis(pool_i, jnp.maximum(pos, 0), axis=1)
-        return jnp.where(pos >= 0, sel, -1)
-
-    def _pairwise(self, elems: jnp.ndarray) -> jnp.ndarray:
-        """(Q, C, C) stored distances among candidate elements."""
-        score = self._scorer()
-        c = elems.shape[1]
-
-        def per_q(e_row):
-            q_rep = self._elems_as_queries(e_row)
-            d = score(q_rep, jnp.broadcast_to(e_row[None, :], (c, c)))
-            return jnp.where((e_row[:, None] >= 0) & (e_row[None, :] >= 0), d, jnp.inf)
-
-        return jax.lax.map(per_q, elems)
+        return K.select_connections(
+            self.kind, self.metric, self.values, base_elems, pool_d, pool_i, lm
+        )
 
     def _write_own_lists(self, elems: np.ndarray, level: int, sel: jnp.ndarray) -> None:
         e = jnp.asarray(elems.astype(np.int32))
@@ -545,7 +505,8 @@ class HNSWIndex:
     ) -> None:
         """HnswUpdateConnection for every (new element → neighbor) edge:
         group by target, then one select per target over old ∪ new
-        (hnswutils.c:1181-1229)."""
+        (hnswutils.c:1181-1229).  Target/source counts are padded to powers
+        of two to bound jit variants."""
         pairs: Dict[int, List[int]] = {}
         for j, e in enumerate(src_elems):
             for n in sel[j]:
@@ -554,30 +515,27 @@ class HNSWIndex:
         if not pairs:
             return
         targets = np.array(sorted(pairs.keys()), np.int32)
-        smax = max(len(v) for v in pairs.values())
-        smax = _round_up(smax, 4)
-        new_src = np.full((len(targets), smax), -1, np.int32)
+        t_pad = _round_pow2(len(targets))
+        smax = _round_pow2(max(len(v) for v in pairs.values()))
+        new_src = np.full((t_pad, smax), -1, np.int32)
         for i, t in enumerate(targets):
             srcs = pairs[int(t)][:smax]
             new_src[i, : len(srcs)] = srcs
-        t_dev = jnp.asarray(targets)
-        s_dev = jnp.asarray(new_src)
+        t_full = np.full(t_pad, -1, np.int32)
+        t_full[: len(targets)] = targets
+        t_dev = jnp.asarray(t_full)
         old = self._neighbors_of_level(t_dev, level)  # (T, lm)
-        cand = jnp.concatenate([old, s_dev], axis=1)  # (T, lm + S)
-        # dists of candidates to target
-        score = self._scorer()
-        t_rep = self._elems_as_queries(t_dev)
-        base_d = score(t_rep, cand)
-        pair = self._pairwise(cand)
-        pos = K.select_neighbors_batch(base_d, pair, cand >= 0, lm)
-        new_lists = jnp.where(
-            pos >= 0, jnp.take_along_axis(cand, jnp.maximum(pos, 0), axis=1), -1
+        new_lists = K.merge_backlinks(
+            self.kind, self.metric, self.values, old, jnp.asarray(new_src),
+            t_dev, lm,
         )
+        real = jnp.asarray(targets)
+        new_real = new_lists[: len(targets)]
         if level == 0:
-            self.nbr0 = self.nbr0.at[t_dev].set(new_lists)
+            self.nbr0 = self.nbr0.at[real].set(new_real)
         else:
             slots = jnp.asarray(self.up_slot[targets])
-            self.nbr_up = self.nbr_up.at[slots, level - 1].set(new_lists)
+            self.nbr_up = self.nbr_up.at[slots, level - 1].set(new_real)
 
     # ------------------------------------------------------------------ search
     def search(
@@ -611,39 +569,19 @@ class HNSWIndex:
         return np.asarray(d), np.asarray(r)
 
     def _search_once(self, qs, nq: int, k: int, ef: int, fmask):
-        score = self._scorer()
-        entry_arr = jnp.full((nq,), self.entry, jnp.int32)
-        cur_d = score(qs, entry_arr[:, None])[:, 0]
-        cur = entry_arr
-        for lc in range(self.entry_level, 0, -1):
-            cur, cur_d = K.greedy_descent(
-                score, lambda e, l: self._neighbors_of_level(e, l),
-                qs, cur, cur_d, lc, self.m, max_steps=512,
-            )
-        visited = jnp.zeros((nq, self.cap_e), jnp.bool_)
-        pool_d, pool_i, _ = K.search_layer(
-            score, lambda e: self._neighbors_of_level(e, 0),
-            qs, cur_d[:, None], cur[:, None], visited,
-            ef=ef, lm=2 * self.m, max_steps=8 * ef + 64,
+        self._sync_device_meta()
+        if fmask is None:
+            fmask = jnp.ones(self.table.capacity, jnp.bool_)
+        query_fn = K.query_search_host if K.use_host_loop() else K.query_search
+        d, r = query_fn(
+            self.kind, self.metric, self.values,
+            self.nbr0, self.nbr_up, self._up_slot_dev,
+            self._elem_rows_dev,
+            self.table.valid, fmask, qs, jnp.int32(self.entry),
+            jnp.int32(self.entry_level),
+            ef=ef, m=self.m, l_unroll=self._l_unroll, k=k,
+            heaptids=HEAPTIDS,
         )
-        # expand heap TIDs (hnswscan.c:286-303 emits each element's tids)
-        elem_rows_dev = jnp.asarray(self.elem_rows)
-        safe = jnp.maximum(pool_i, 0)
-        rows = elem_rows_dev[safe].reshape(nq, -1)  # (Q, ef*HEAPTIDS)
-        rd = jnp.repeat(pool_d, HEAPTIDS, axis=1)
-        rows = jnp.where(jnp.repeat(pool_i, HEAPTIDS, axis=1) >= 0, rows, -1)
-        ok = rows >= 0
-        safe_rows = jnp.maximum(rows, 0)
-        ok = ok & self.table.valid[safe_rows]
-        if fmask is not None:
-            ok = ok & fmask[safe_rows]
-        rd = jnp.where(ok, rd, jnp.inf)
-        d, r = topk_smallest(rd, min(k, rd.shape[1]), ids=rows.astype(jnp.int32))
-        if d.shape[1] < k:
-            pad = k - d.shape[1]
-            d = jnp.concatenate([d, jnp.full((nq, pad), jnp.inf, d.dtype)], axis=1)
-            r = jnp.concatenate([r, jnp.full((nq, pad), -1, r.dtype)], axis=1)
-        r = jnp.where(jnp.isinf(d), -1, r)
         return self._user_dist(d), r
 
     def _user_dist(self, stored: jnp.ndarray) -> jnp.ndarray:
@@ -769,3 +707,10 @@ def _dup_keys(host_vals: List[np.ndarray]) -> List[bytes]:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _round_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p

@@ -12,17 +12,25 @@ hop), the per-hop neighbor gather, and the distance evaluation are all
 block + one small sort instead of Q·lm pointer chases.
 
 SelectNeighbors (Algorithm 4, hnswutils.c:1062-1163) becomes a masked
-pairwise-distance kernel vmapped over elements: the sequential keep/prune
-decision runs as a fori_loop over the (static) candidate count, with the
-kept-pruned backfill expressed as a rank trick.
+pairwise-distance kernel: pairwise distances come from one batched matmul
+(dense L2/IP/cos) or a broadcast block (L1/bit/sparse), and the sequential
+keep/prune decision runs as a fori_loop of elementwise ops.
 
-All kernels are shape-static and jit-cached per (ef, lm, kind) combination.
+Two loop drivers share the same hop step:
+
+- default: the beam loop is a ``lax.while_loop`` inside one jitted kernel
+  (wave_search / query_search) — minimal dispatch, full fusion.  Dynamic
+  entry level + fixed-width neighbor gathers keep the jit-variant count
+  small (one compile serves every graph height ≤ l_unroll).
+- opt-in (PGVECTOR_TPU_HOST_LOOPS=1): the host drives the hop loop calling
+  a small jitted step (`_hop_step`) — identical math, host-checked
+  termination.  Useful when device compiles are remote/expensive.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +39,15 @@ from ..ops import distance as D
 from ..ops.metric import Metric
 
 BIG = jnp.float32(3.0e38)
+
+
+def use_host_loop() -> bool:
+    """Host-driven hop loops are an opt-in fallback (useful when device
+    compiles are remote/slow); the mono-jit while_loop path is the default
+    on every backend."""
+    import os
+
+    return os.environ.get("PGVECTOR_TPU_HOST_LOOPS", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -100,98 +117,63 @@ def make_scorer(kind: str, metric: Metric, data):
             safe = jnp.maximum(rows, 0)
             ridx = idx_arr[safe]  # (Q, R, P)
             rval = val_arr[safe]
-
-            def per_query(qi, qv, ri, rv):
-                return D.sparse_scores(metric, qi, qv, ri, rv)
-
-            d = jax.vmap(per_query)(q_idx, q_val, ridx, rval)
+            d = jax.vmap(lambda qi, qv, ri, rv: D.sparse_scores(metric, qi, qv, ri, rv))(
+                q_idx, q_val, ridx, rval
+            )
             return jnp.where(rows >= 0, d, jnp.inf)
 
         return score
     raise ValueError(kind)
 
 
+def elems_as_queries(kind: str, values, elems):
+    """Use stored elements as the query side (build-time searches)."""
+    safe = jnp.maximum(elems, 0)
+    if kind == "sparse":
+        return (values[0][safe], values[1][safe])
+    return values[0][safe]
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "metric"))
+def score_block(kind: str, metric: Metric, values, qs, rows):
+    return make_scorer(kind, metric, values)(qs, rows)
+
+
 # ---------------------------------------------------------------------------
-# pool ops
+# neighbor gather: dynamic level, fixed 2m width
 # ---------------------------------------------------------------------------
 
 
-def _merge_pool(pool_d, pool_i, pool_x, new_d, new_i, ef: int):
-    """Merge new candidates into the sorted (d, id, expanded) pool, keep ef.
-    The single sorted array plays both heaps of Algorithm 2: C = unexpanded
-    entries, W = the ef best seen."""
-    d = jnp.concatenate([pool_d, new_d], axis=1)
-    i = jnp.concatenate([pool_i, new_i], axis=1)
-    x = jnp.concatenate([pool_x, jnp.zeros_like(new_i, dtype=jnp.bool_)], axis=1)
-    d, i, x = jax.lax.sort((d, i, x.astype(jnp.int32)), num_keys=1)
-    return d[:, :ef], i[:, :ef], x[:, :ef].astype(jnp.bool_)
+def _neighbors_closure(nbr0, nbr_up, up_slot):
+    """Neighbor gather with a *dynamic* level and a fixed 2m output width:
+    level 0 reads nbr0 (2m wide); upper levels read nbr_up[:, level-1]
+    (m wide) padded with -1, so every beam level shares one compiled shape."""
+    m2 = nbr0.shape[1]
+    m = nbr_up.shape[2]
+
+    def neighbors_of_level(elems, level):
+        safe = jnp.maximum(elems, 0)
+
+        def level0(_):
+            return nbr0[safe]
+
+        def upper(_):
+            slot = up_slot[safe]
+            lvl_idx = jnp.maximum(level - 1, 0)
+            out = nbr_up[jnp.maximum(slot, 0), lvl_idx]
+            out = jnp.where(slot[:, None] >= 0, out, -1)
+            pad = jnp.full(out.shape[:-1] + (m2 - m,), -1, jnp.int32)
+            return jnp.concatenate([out, pad], axis=-1)
+
+        out = jax.lax.cond(jnp.asarray(level) == 0, level0, upper, None)
+        return jnp.where(elems[:, None] >= 0, out, -1)
+
+    return neighbors_of_level
 
 
-def search_layer(
-    score,
-    neighbors_of,
-    qs,
-    init_d: jnp.ndarray,  # (Q, E) distances of entry candidates
-    init_i: jnp.ndarray,  # (Q, E) element ids (-1 = none)
-    visited: jnp.ndarray,  # (Q, cap) bool — consumed and returned
-    ef: int,
-    lm: int,
-    max_steps: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Algorithm 2 (HnswSearchLayer, hnswutils.c:822-985), batched.
-
-    ``score(qs, rows)`` and ``neighbors_of(elems) -> (Q, lm)`` close over
-    the graph arrays.  Returns (pool_d, pool_i, visited); the pool is sorted
-    ascending with -1/inf padding.
-    """
-    nq = init_i.shape[0]
-    pad = ef - init_i.shape[1]
-    if pad < 0:
-        init_d, init_i = init_d[:, :ef], init_i[:, :ef]
-        pad = 0
-    pool_d = jnp.concatenate(
-        [jnp.where(init_i >= 0, init_d, jnp.inf),
-         jnp.full((nq, pad), jnp.inf, jnp.float32)], axis=1)
-    pool_i = jnp.concatenate(
-        [init_i, jnp.full((nq, pad), -1, jnp.int32)], axis=1)
-    pool_d, pool_i = jax.lax.sort((pool_d, pool_i), num_keys=1)
-    pool_x = jnp.zeros((nq, ef), jnp.bool_)
-    # mark entries visited
-    visited = _set_visited(visited, pool_i)
-    rows_q = jnp.arange(nq, dtype=jnp.int32)
-
-    def cond(state):
-        _, _, _, _, step, done = state
-        return jnp.logical_and(~jnp.all(done), step < max_steps)
-
-    def body(state):
-        pool_d, pool_i, pool_x, visited, step, _ = state
-        # nearest unexpanded candidate per query
-        cand_mask = (~pool_x) & (pool_i >= 0)
-        cand_d = jnp.where(cand_mask, pool_d, jnp.inf)
-        sel = jnp.argmin(cand_d, axis=1)  # (Q,)
-        sel_d = jnp.take_along_axis(cand_d, sel[:, None], axis=1)[:, 0]
-        worst = pool_d[:, ef - 1]
-        # done: no unexpanded candidate, or best unexpanded is worse than a
-        # full pool's worst (the W-bound termination of Algorithm 2)
-        done = jnp.isinf(sel_d) | (sel_d > worst)
-        # expand: mark selected
-        pool_x = pool_x.at[rows_q, sel].set(jnp.where(done, pool_x[rows_q, sel], True))
-        sel_elem = jnp.where(done, -1, pool_i[rows_q, sel])
-        nbrs = neighbors_of(sel_elem)  # (Q, lm)
-        nbrs = jnp.where(sel_elem[:, None] >= 0, nbrs, -1)
-        # drop visited, mark visited
-        seen = _get_visited(visited, nbrs)
-        nbrs = jnp.where(seen, -1, nbrs)
-        visited = _set_visited(visited, nbrs)
-        nd = score(qs, nbrs)
-        pool_d, pool_i, pool_x = _merge_pool(pool_d, pool_i, pool_x, nd, nbrs, ef)
-        return pool_d, pool_i, pool_x, visited, step + 1, done
-
-    state = (pool_d, pool_i, pool_x, visited,
-             jnp.int32(0), jnp.zeros((nq,), jnp.bool_))
-    pool_d, pool_i, pool_x, visited, _, _ = jax.lax.while_loop(cond, body, state)
-    return pool_d, pool_i, visited
+# ---------------------------------------------------------------------------
+# visited plane
+# ---------------------------------------------------------------------------
 
 
 def _set_visited(visited: jnp.ndarray, elems: jnp.ndarray) -> jnp.ndarray:
@@ -211,18 +193,129 @@ def _get_visited(visited: jnp.ndarray, elems: jnp.ndarray) -> jnp.ndarray:
     return visited[rows.reshape(-1), safe.reshape(-1)].reshape(elems.shape) & (elems >= 0)
 
 
-def greedy_descent(
-    score,
-    neighbors_of_level,
-    qs,
-    start: jnp.ndarray,  # (Q,) element ids
-    start_d: jnp.ndarray,  # (Q,)
-    level: int,
-    m: int,
-    max_steps: int,
-):
-    """ef=1 greedy walk on one upper level (the entry-point descent of
-    Algorithm 5 / HnswFindElementNeighbors, hnswutils.c:1293-1306)."""
+# ---------------------------------------------------------------------------
+# one beam hop (the body of Algorithm 2)
+# ---------------------------------------------------------------------------
+
+
+def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited, ef: int):
+    """One expansion hop: pop nearest unexpanded candidate per query, gather
+    its neighbors, score the unvisited ones, merge into the pool."""
+    nq = pool_d.shape[0]
+    rows_q = jnp.arange(nq, dtype=jnp.int32)
+    cand_mask = (~pool_x) & (pool_i >= 0)
+    cand_d = jnp.where(cand_mask, pool_d, jnp.inf)
+    sel = jnp.argmin(cand_d, axis=1)
+    sel_d = jnp.take_along_axis(cand_d, sel[:, None], axis=1)[:, 0]
+    worst = pool_d[:, ef - 1]
+    # done: no unexpanded candidate, or best unexpanded is worse than a full
+    # pool's worst (the W-bound termination of Algorithm 2)
+    done = jnp.isinf(sel_d) | (sel_d > worst)
+    pool_x = pool_x.at[rows_q, sel].set(jnp.where(done, pool_x[rows_q, sel], True))
+    sel_elem = jnp.where(done, -1, pool_i[rows_q, sel])
+    nbrs = neighbors_of(sel_elem)
+    nbrs = jnp.where(sel_elem[:, None] >= 0, nbrs, -1)
+    seen = _get_visited(visited, nbrs)
+    nbrs = jnp.where(seen, -1, nbrs)
+    visited = _set_visited(visited, nbrs)
+    nd = score(qs, nbrs)
+    d = jnp.concatenate([pool_d, nd], axis=1)
+    i = jnp.concatenate([pool_i, nbrs], axis=1)
+    x = jnp.concatenate([pool_x.astype(jnp.int32), jnp.zeros_like(nbrs)], axis=1)
+    d, i, x = jax.lax.sort((d, i, x), num_keys=1)
+    return d[:, :ef], i[:, :ef], x[:, :ef].astype(jnp.bool_), visited, done
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "metric", "ef"))
+def _hop_step(kind, metric, values, nbr0, nbr_up, up_slot, level, qs,
+              pool_d, pool_i, pool_x, visited, ef: int):
+    score = make_scorer(kind, metric, values)
+    nbrs_of = _neighbors_closure(nbr0, nbr_up, up_slot)
+    return _hop_body(score, lambda e: nbrs_of(e, level), qs,
+                     pool_d, pool_i, pool_x, visited, ef)
+
+
+def _init_pool(qs, init_d, init_i, ef: int):
+    nq = init_i.shape[0]
+    pad = ef - init_i.shape[1]
+    if pad < 0:
+        init_d, init_i = init_d[:, :ef], init_i[:, :ef]
+        pad = 0
+    pool_d = jnp.concatenate(
+        [jnp.where(init_i >= 0, init_d, jnp.inf),
+         jnp.full((nq, pad), jnp.inf, jnp.float32)], axis=1)
+    pool_i = jnp.concatenate(
+        [init_i, jnp.full((nq, pad), -1, jnp.int32)], axis=1)
+    pool_d, pool_i = jax.lax.sort((pool_d, pool_i), num_keys=1)
+    pool_x = jnp.zeros((nq, ef), jnp.bool_)
+    return pool_d, pool_i, pool_x
+
+
+def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
+                 ef: int, lm: int, max_steps: int):
+    """Algorithm 2 (HnswSearchLayer, hnswutils.c:822-985), batched, as a
+    traced while_loop — for use inside the TPU mono-jits."""
+    pool_d, pool_i, pool_x = _init_pool(qs, init_d, init_i, ef)
+    visited = _set_visited(visited, pool_i)
+
+    def cond(state):
+        _, _, _, _, step, done = state
+        return jnp.logical_and(~jnp.all(done), step < max_steps)
+
+    def body(state):
+        pool_d, pool_i, pool_x, visited, step, _ = state
+        pool_d, pool_i, pool_x, visited, done = _hop_body(
+            score, neighbors_of, qs, pool_d, pool_i, pool_x, visited, ef
+        )
+        return pool_d, pool_i, pool_x, visited, step + 1, done
+
+    nq = pool_d.shape[0]
+    state = (pool_d, pool_i, pool_x, visited, jnp.int32(0),
+             jnp.zeros((nq,), jnp.bool_))
+    pool_d, pool_i, pool_x, visited, _, _ = jax.lax.while_loop(cond, body, state)
+    return pool_d, pool_i, visited
+
+
+@functools.partial(jax.jit, static_argnames=("ef",))
+def _pool_seed(qs, init_d, init_i, visited, ef: int):
+    pool_d, pool_i, pool_x = _init_pool(qs, init_d, init_i, ef)
+    return pool_d, pool_i, pool_x, _set_visited(visited, pool_i)
+
+
+def search_layer_host(kind, metric, values, nbr0, nbr_up, up_slot, level,
+                      qs, init_d, init_i, visited, ef: int, max_steps: int):
+    """Host-driven Algorithm 2: the same hop step, with termination checked
+    on the host (CPU backend path)."""
+    pool_d, pool_i, pool_x, visited = _pool_seed(qs, init_d, init_i, visited, ef)
+    lvl = jnp.int32(level)
+    for _ in range(max_steps):
+        pool_d, pool_i, pool_x, visited, done = _hop_step(
+            kind, metric, values, nbr0, nbr_up, up_slot, lvl, qs,
+            pool_d, pool_i, pool_x, visited, ef
+        )
+        if bool(jnp.all(done)):
+            break
+    return pool_d, pool_i, visited
+
+
+# ---------------------------------------------------------------------------
+# greedy ef=1 descent (upper levels)
+# ---------------------------------------------------------------------------
+
+
+def _greedy_body(score, neighbors_of, qs, cur, cur_d):
+    nbrs = neighbors_of(cur)
+    nd = score(qs, nbrs)
+    best = jnp.argmin(nd, axis=1)
+    best_d = jnp.take_along_axis(nd, best[:, None], axis=1)[:, 0]
+    best_i = jnp.take_along_axis(nbrs, best[:, None], axis=1)[:, 0]
+    move = best_d < cur_d
+    return (jnp.where(move, best_i, cur), jnp.where(move, best_d, cur_d), move)
+
+
+def greedy_descent(score, neighbors_of_level, qs, start, start_d, level, m,
+                   max_steps: int):
+    """ef=1 greedy walk on one upper level (hnswutils.c:1293-1306), traced."""
 
     def cond(state):
         _, _, moved, step = state
@@ -230,14 +323,9 @@ def greedy_descent(
 
     def body(state):
         cur, cur_d, _, step = state
-        nbrs = neighbors_of_level(cur, level)  # (Q, m)
-        nd = score(qs, nbrs)
-        best = jnp.argmin(nd, axis=1)
-        best_d = jnp.take_along_axis(nd, best[:, None], axis=1)[:, 0]
-        best_i = jnp.take_along_axis(nbrs, best[:, None], axis=1)[:, 0]
-        move = best_d < cur_d
-        cur = jnp.where(move, best_i, cur)
-        cur_d = jnp.where(move, best_d, cur_d)
+        cur, cur_d, move = _greedy_body(
+            score, lambda e: neighbors_of_level(e, level), qs, cur, cur_d
+        )
         return cur, cur_d, move, step + 1
 
     nq = start.shape[0]
@@ -246,19 +334,33 @@ def greedy_descent(
     return cur, cur_d
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "metric"))
+def _greedy_step(kind, metric, values, nbr0, nbr_up, up_slot, level, qs, cur, cur_d):
+    score = make_scorer(kind, metric, values)
+    nbrs_of = _neighbors_closure(nbr0, nbr_up, up_slot)
+    return _greedy_body(score, lambda e: nbrs_of(e, level), qs, cur, cur_d)
+
+
+def greedy_descent_host(kind, metric, values, nbr0, nbr_up, up_slot, level,
+                        qs, cur, cur_d, max_steps: int):
+    lvl = jnp.int32(level)
+    for _ in range(max_steps):
+        cur, cur_d, moved = _greedy_step(
+            kind, metric, values, nbr0, nbr_up, up_slot, lvl, qs, cur, cur_d
+        )
+        if not bool(jnp.any(moved)):
+            break
+    return cur, cur_d
+
+
 # ---------------------------------------------------------------------------
 # SelectNeighbors heuristic (Algorithm 4 — hnswutils.c:1062-1163)
 # ---------------------------------------------------------------------------
 
 
-def select_neighbors(
-    base_d: jnp.ndarray,  # (C,) distance of each candidate to the base element
-    pair_d: jnp.ndarray,  # (C, C) candidate pairwise distances
-    valid: jnp.ndarray,  # (C,) bool
-    lm: int,
-) -> jnp.ndarray:
+def select_neighbors(base_d, pair_d, valid, lm: int) -> jnp.ndarray:
     """Returns (lm,) selected candidate *positions* (-1 padded), kept-first
-    then closest-pruned backfill (the keepPrunedConnections behavior,
+    then closest-pruned backfill (keepPrunedConnections,
     hnswutils.c:1133-1156)."""
     c = base_d.shape[0]
     big_d = jnp.where(valid, base_d, jnp.inf)
@@ -279,11 +381,280 @@ def select_neighbors(
     kept_count, kept, _ = jax.lax.fori_loop(
         0, c, body, (jnp.int32(0), jnp.zeros((c,), jnp.bool_), jnp.full((c,), jnp.inf))
     )
-    # rank: kept first (by distance), then pruned-but-valid (by distance),
-    # invalid last
     rank = jnp.where(kept, big_d, jnp.where(jnp.isfinite(big_d), big_d + BIG, jnp.inf))
     neg, pos = jax.lax.top_k(-rank, lm)
     return jnp.where(jnp.isinf(-neg), -1, pos)
 
 
 select_neighbors_batch = jax.vmap(select_neighbors, in_axes=(0, 0, 0, None))
+
+
+def _pairwise_dists(kind: str, metric: Metric, values, elems):
+    """(T, C, C) stored distances among candidate elements per row.
+
+    Dense L2/IP/cos ride one batched matmul (MXU); other metrics use a
+    broadcast block — callers chunk T to bound the (T, C, C, D) tensor."""
+    safe = jnp.maximum(elems, 0)
+    ok = (elems[:, :, None] >= 0) & (elems[:, None, :] >= 0)
+    if kind == "dense" and metric in (Metric.L2, Metric.IP, Metric.COSINE):
+        v = values[0][safe].astype(jnp.float32)  # (T, C, D)
+        ip = jax.lax.dot_general(
+            v, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (T, C, C)
+        if metric is Metric.L2:
+            sq = jnp.sum(v * v, axis=-1)
+            d = jnp.maximum(sq[:, :, None] - 2.0 * ip + sq[:, None, :], 0.0)
+        else:
+            d = -ip
+        return jnp.where(ok, d, jnp.inf)
+    if kind == "dense":  # L1
+        v = values[0][safe].astype(jnp.float32)
+        d = jnp.sum(jnp.abs(v[:, :, None, :] - v[:, None, :, :]), axis=-1)
+        return jnp.where(ok, d, jnp.inf)
+    if kind == "bit":
+        w = values[0][safe]  # (T, C, W)
+        if metric is Metric.HAMMING:
+            d = jnp.sum(
+                jax.lax.population_count(
+                    jnp.bitwise_xor(w[:, :, None, :], w[:, None, :, :])
+                ).astype(jnp.int32),
+                axis=-1,
+            ).astype(jnp.float32)
+        else:
+            ab = jnp.sum(
+                jax.lax.population_count(
+                    jnp.bitwise_and(w[:, :, None, :], w[:, None, :, :])
+                ).astype(jnp.int32),
+                axis=-1,
+            ).astype(jnp.float32)
+            pop = jnp.sum(
+                jax.lax.population_count(w).astype(jnp.int32), axis=-1
+            ).astype(jnp.float32)
+            denom = pop[:, :, None] + pop[:, None, :] - ab
+            d = jnp.where(ab == 0, 1.0, 1.0 - ab / jnp.where(denom > 0, denom, 1.0))
+        return jnp.where(ok, d, jnp.inf)
+    # sparse: vmapped single-query scorer per row (nested vmap, no lax loop)
+    idx_arr, val_arr = values
+    ridx = idx_arr[safe]  # (T, C, P)
+    rval = val_arr[safe]
+
+    def pair_rows(ri, rv):
+        return jax.vmap(lambda qi, qv: D.sparse_scores(metric, qi, qv, ri, rv))(ri, rv)
+
+    d = jax.vmap(pair_rows)(ridx, rval)
+    return jnp.where(ok, d, jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "metric", "lm"))
+def select_connections(kind, metric, values, base_elems, pool_d, pool_i, lm: int):
+    """SelectNeighbors over each base element's candidate pool →
+    (Q, lm) neighbor element ids."""
+    pair = _pairwise_dists(kind, metric, values, pool_i)
+    pos = select_neighbors_batch(pool_d, pair, pool_i >= 0, lm)
+    sel = jnp.take_along_axis(pool_i, jnp.maximum(pos, 0), axis=1)
+    return jnp.where(pos >= 0, sel, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "metric", "lm"))
+def merge_backlinks(kind, metric, values, old_lists, new_src, targets, lm: int):
+    """HnswUpdateConnection batched by target: select lm among old ∪ new
+    (hnswutils.c:1181-1229).  Returns (T, lm) new neighbor lists."""
+    score = make_scorer(kind, metric, values)
+    cand = jnp.concatenate([old_lists, new_src], axis=1)
+    # mark later duplicates invalid (old may already contain a new src)
+    c = cand.shape[1]
+    eq = cand[:, :, None] == cand[:, None, :]
+    idx = jnp.arange(c)
+    earlier = idx[None, :, None] > idx[None, None, :]
+    dup = jnp.any(eq & earlier & (cand[:, :, None] >= 0), axis=2)
+    cand = jnp.where(dup, -1, cand)
+    t_rep = elems_as_queries(kind, values, targets)
+    base_d = score(t_rep, cand)
+    base_d = jnp.where(targets[:, None] >= 0, base_d, jnp.inf)
+    pair = _pairwise_dists(kind, metric, values, cand)
+    pos = select_neighbors_batch(base_d, pair, cand >= 0, lm)
+    sel = jnp.take_along_axis(cand, jnp.maximum(pos, 0), axis=1)
+    return jnp.where(pos >= 0, sel, -1)
+
+
+# ---------------------------------------------------------------------------
+# wave search — TPU mono-jit and CPU host-driver variants
+# ---------------------------------------------------------------------------
+
+
+def _wave_level_loop(score, qs, lv, entry, entry_level, ef, m, l_unroll,
+                     self_ids, exclude_self, greedy_fn, beam_fn):
+    """Shared level structure of Algorithm 1 over levels l_unroll..0."""
+    nq = lv.shape[0]
+    entry_arr = jnp.full((nq,), entry, jnp.int32)
+    cur_d = score(qs, entry_arr[:, None])[:, 0]
+    cur = entry_arr
+    lv_c = jnp.minimum(lv, entry_level)
+    pool_d = jnp.full((nq, ef), jnp.inf, jnp.float32)
+    pool_i = jnp.full((nq, ef), -1, jnp.int32)
+    out_d = [None] * (l_unroll + 1)
+    out_i = [None] * (l_unroll + 1)
+    for lc in range(l_unroll, -1, -1):
+        if lc >= 1:
+            g_cur, g_d = greedy_fn(lc, qs, cur, cur_d)
+            gm = lv < lc
+            cur = jnp.where(gm, g_cur, cur)
+            cur_d = jnp.where(gm, g_d, cur_d)
+        first = lv_c == lc
+        pool_d = jnp.where(first[:, None], jnp.inf, pool_d)
+        pool_i = jnp.where(first[:, None], -1, pool_i)
+        pool_d = pool_d.at[:, 0].set(jnp.where(first, cur_d, pool_d[:, 0]))
+        pool_i = pool_i.at[:, 0].set(jnp.where(first, cur, pool_i[:, 0]))
+        pd, pi = beam_fn(lc, qs, pool_d, pool_i)
+        bm = (lv >= lc)[:, None]
+        pool_d = jnp.where(bm, pd, pool_d)
+        pool_i = jnp.where(bm, pi, pool_i)
+        o_d, o_i = pool_d, pool_i
+        if exclude_self:
+            o_i = jnp.where(o_i == self_ids[:, None], -1, o_i)
+            o_d = jnp.where(o_i >= 0, o_d, jnp.inf)
+        out_d[lc] = o_d
+        out_i[lc] = o_i
+    return jnp.stack(out_d), jnp.stack(out_i)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "metric", "ef", "m", "l_unroll", "exclude_self"),
+)
+def wave_search(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
+                entry, entry_level, ef: int, m: int, l_unroll: int,
+                exclude_self: bool):
+    """Full Algorithm 1 search for a wave (TPU mono-jit).  Returns stacked
+    per-level pools (l_unroll+1, Q, ef); levels above the dynamic entry
+    level terminate in one hop, so one compilation serves every graph
+    height ≤ l_unroll."""
+    score = make_scorer(kind, metric, values)
+    nbrs = _neighbors_closure(nbr0, nbr_up, up_slot)
+    cap_e = nbr0.shape[0]
+    nq = lv.shape[0]
+
+    def greedy_fn(lc, qs_, cur, cur_d):
+        return greedy_descent(score, nbrs, qs_, cur, cur_d, jnp.int32(lc),
+                              m, max_steps=512)
+
+    def beam_fn(lc, qs_, pool_d, pool_i):
+        visited = jnp.zeros((nq, cap_e), jnp.bool_)
+        pd, pi, _ = search_layer(
+            score, lambda e, _lc=lc: nbrs(e, jnp.int32(_lc)), qs_,
+            pool_d, pool_i, visited, ef=ef, lm=2 * m, max_steps=4 * ef + 64,
+        )
+        return pd, pi
+
+    return _wave_level_loop(score, qs, lv, entry, entry_level, ef, m,
+                            l_unroll, self_ids, exclude_self,
+                            greedy_fn, beam_fn)
+
+
+def wave_search_host(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids,
+                     lv, entry, entry_level, ef: int, m: int, l_unroll: int,
+                     exclude_self: bool):
+    """CPU variant: same level structure, host-driven loops."""
+    score = lambda q, r: score_block(kind, metric, values, q, r)
+    cap_e = nbr0.shape[0]
+    nq = lv.shape[0]
+
+    def greedy_fn(lc, qs_, cur, cur_d):
+        return greedy_descent_host(kind, metric, values, nbr0, nbr_up,
+                                   up_slot, lc, qs_, cur, cur_d, max_steps=512)
+
+    def beam_fn(lc, qs_, pool_d, pool_i):
+        visited = jnp.zeros((nq, cap_e), jnp.bool_)
+        pd, pi, _ = search_layer_host(
+            kind, metric, values, nbr0, nbr_up, up_slot, lc, qs_,
+            pool_d, pool_i, visited, ef=ef, max_steps=4 * ef + 64,
+        )
+        return pd, pi
+
+    return _wave_level_loop(score, qs, jnp.asarray(lv), entry, entry_level,
+                            ef, m, l_unroll, self_ids, exclude_self,
+                            greedy_fn, beam_fn)
+
+
+# ---------------------------------------------------------------------------
+# query search — TPU mono-jit and CPU host-driver variants
+# ---------------------------------------------------------------------------
+
+
+def _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k: int,
+                 heaptids: int):
+    """Heap-TID expansion + validity/filter mask + top-k
+    (hnswscan.c:286-303)."""
+    nq = pool_d.shape[0]
+    safe = jnp.maximum(pool_i, 0)
+    rows = elem_rows[safe].reshape(nq, -1)
+    rd = jnp.repeat(pool_d, heaptids, axis=1)
+    rows = jnp.where(jnp.repeat(pool_i, heaptids, axis=1) >= 0, rows, -1)
+    safe_rows = jnp.maximum(rows, 0)
+    ok = (rows >= 0) & row_valid[safe_rows] & fmask[safe_rows]
+    rd = jnp.where(ok, rd, jnp.inf)
+    kk = min(k, rd.shape[1])
+    neg, selpos = jax.lax.top_k(-rd, kk)
+    d = -neg
+    r = jnp.take_along_axis(rows, selpos, axis=1)
+    if kk < k:
+        d = jnp.concatenate([d, jnp.full((nq, k - kk), jnp.inf, d.dtype)], axis=1)
+        r = jnp.concatenate([r, jnp.full((nq, k - kk), -1, r.dtype)], axis=1)
+    r = jnp.where(jnp.isinf(d), -1, r)
+    return d, r
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "metric", "ef", "m", "l_unroll", "k", "heaptids"),
+)
+def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
+                 row_valid, fmask, qs, entry, entry_level, ef: int, m: int,
+                 l_unroll: int, k: int, heaptids: int):
+    """Algorithm 5 (hnswscan.c:25-56), TPU mono-jit."""
+    score = make_scorer(kind, metric, values)
+    nbrs = _neighbors_closure(nbr0, nbr_up, up_slot)
+    nq = qs.shape[0] if not isinstance(qs, tuple) else qs[0].shape[0]
+    cap_e = nbr0.shape[0]
+
+    entry_arr = jnp.full((nq,), entry, jnp.int32)
+    cur_d = score(qs, entry_arr[:, None])[:, 0]
+    cur = entry_arr
+    for lc in range(l_unroll, 0, -1):
+        cur, cur_d = greedy_descent(score, nbrs, qs, cur, cur_d, jnp.int32(lc),
+                                    m, max_steps=512)
+    visited = jnp.zeros((nq, cap_e), jnp.bool_)
+    pool_d, pool_i, _ = search_layer(
+        score, lambda e: nbrs(e, jnp.int32(0)), qs, cur_d[:, None],
+        cur[:, None], visited, ef=ef, lm=2 * m, max_steps=8 * ef + 64,
+    )
+    return _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k, heaptids)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "heaptids"))
+def _expand_topk_jit(pool_d, pool_i, elem_rows, row_valid, fmask,
+                     k: int, heaptids: int):
+    return _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k, heaptids)
+
+
+def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
+                      row_valid, fmask, qs, entry, entry_level, ef: int,
+                      m: int, l_unroll: int, k: int, heaptids: int):
+    """CPU variant of Algorithm 5 with host-driven loops."""
+    nq = qs.shape[0] if not isinstance(qs, tuple) else qs[0].shape[0]
+    cap_e = nbr0.shape[0]
+    entry_arr = jnp.full((nq,), entry, jnp.int32)
+    cur_d = score_block(kind, metric, values, qs, entry_arr[:, None])[:, 0]
+    cur = entry_arr
+    for lc in range(int(entry_level), 0, -1):
+        cur, cur_d = greedy_descent_host(kind, metric, values, nbr0, nbr_up,
+                                         up_slot, lc, qs, cur, cur_d,
+                                         max_steps=512)
+    visited = jnp.zeros((nq, cap_e), jnp.bool_)
+    pool_d, pool_i, _ = search_layer_host(
+        kind, metric, values, nbr0, nbr_up, up_slot, 0, qs,
+        cur_d[:, None], cur[:, None], visited, ef=ef, max_steps=8 * ef + 64,
+    )
+    return _expand_topk_jit(pool_d, pool_i, elem_rows, row_valid, fmask, k,
+                            heaptids)

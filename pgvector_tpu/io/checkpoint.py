@@ -1,0 +1,238 @@
+"""Checkpoint / persistence — the crash-safety analogue of the reference's
+WAL'd index pages (SURVEY.md §5 "Checkpoint / resume": the index *is* the
+checkpoint, fully materialized pages with magic/version metapages,
+hnsw.h:41-43, ivfflat.h:46-48).
+
+A checkpoint is a directory:
+
+    manifest.json   — magic, format version, object kind + parameters
+    *.npy           — one file per array (host-side numpy save)
+
+Tables and both index AMs round-trip losslessly; version numbers gate
+future format migrations the way ``ALTER EXTENSION vector UPDATE`` walks
+the 42 SQL migration scripts (README.md:1272-1284).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import DataException
+from ..ops.metric import Metric
+from ..store.table import BitTable, DenseTable, SparseTable
+
+MAGIC = "pgvector-tpu"
+FORMAT_VERSION = 1
+
+
+def _write_manifest(path: str, payload: Dict[str, Any]) -> None:
+    payload = dict(payload)
+    payload["magic"] = MAGIC
+    payload["version"] = FORMAT_VERSION
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+
+
+def _read_manifest(path: str) -> Dict[str, Any]:
+    with open(os.path.join(path, "manifest.json")) as f:
+        m = json.load(f)
+    if m.get("magic") != MAGIC:
+        raise DataException("invalid checkpoint: bad magic")
+    if m.get("version") != FORMAT_VERSION:
+        raise DataException(
+            f"unsupported checkpoint version {m.get('version')}"
+        )
+    return m
+
+
+def _save_arrays(path: str, arrays: Dict[str, Any]) -> None:
+    for name, arr in arrays.items():
+        np.save(os.path.join(path, name + ".npy"), np.asarray(arr))
+
+
+def _load(path: str, name: str) -> np.ndarray:
+    return np.load(os.path.join(path, name + ".npy"))
+
+
+# ---------------------------------------------------------------------------
+# tables
+# ---------------------------------------------------------------------------
+
+
+def save_table(table, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    if isinstance(table, DenseTable):
+        kind = "dense"
+        arrays = {"data": table.data[: table.count]}
+        extra = {"dim": table.dim, "dtype": str(np.dtype(jnp.dtype(table.dtype)))}
+    elif isinstance(table, BitTable):
+        kind = "bit"
+        arrays = {"data": table.data[: table.count]}
+        extra = {"dim": table.dim}
+    elif isinstance(table, SparseTable):
+        kind = "sparse"
+        arrays = {"idx": table.idx[: table.count], "val": table.val[: table.count]}
+        extra = {"dim": table.dim, "nnz_cap": table.nnz_cap}
+    else:
+        raise DataException(f"cannot checkpoint {type(table).__name__}")
+    arrays["valid"] = table.valid[: table.count]
+    _save_arrays(path, arrays)
+    _write_manifest(path, {"object": "table", "kind": kind,
+                           "count": table.count, **extra})
+
+
+def load_table(path: str):
+    m = _read_manifest(path)
+    if m["object"] != "table":
+        raise DataException(f'expected a table checkpoint, found "{m["object"]}"')
+    count = m["count"]
+    valid = _load(path, "valid")
+    if m["kind"] == "dense":
+        table = DenseTable(m["dim"], dtype=jnp.dtype(m["dtype"]),
+                           capacity=max(count, 8))
+        if count:
+            rows = table.insert(_load(path, "data"))
+            dead = rows[~valid]
+            if len(dead):
+                table.delete(dead)
+    elif m["kind"] == "bit":
+        table = BitTable(m["dim"], capacity=max(count, 8))
+        if count:
+            packed = _load(path, "data")
+            table.data = jnp.zeros((table.capacity, table.words), jnp.uint32)
+            table.data = table.data.at[:count].set(jnp.asarray(packed))
+            table.count = count
+            table.valid = table.valid.at[:count].set(jnp.asarray(valid))
+    else:
+        table = SparseTable(m["dim"], nnz_cap=m["nnz_cap"], capacity=max(count, 8))
+        if count:
+            table.idx = table.idx.at[:count].set(jnp.asarray(_load(path, "idx")))
+            table.val = table.val.at[:count].set(jnp.asarray(_load(path, "val")))
+            table.count = count
+            table.valid = table.valid.at[:count].set(jnp.asarray(valid))
+    return table
+
+
+# ---------------------------------------------------------------------------
+# indexes
+# ---------------------------------------------------------------------------
+
+
+def save_hnsw(idx, path: str) -> None:
+    """Serialize the HNSW graph arrays (the FlushPages analogue,
+    hnswbuild.c:303-316 — metapage + element + neighbor tuples)."""
+    os.makedirs(path, exist_ok=True)
+    arrays = {
+        "nbr0": idx.nbr0[: idx.n_elems],
+        "nbr_up": idx.nbr_up[: idx.n_upper],
+        "up_slot": idx.up_slot[: idx.n_elems],
+        "levels": idx.levels[: idx.n_elems],
+        "elem_rows": idx.elem_rows[: idx.n_elems],
+    }
+    for j, v in enumerate(idx.values):
+        arrays[f"values{j}"] = v[: idx.n_elems]
+    _save_arrays(path, arrays)
+    _write_manifest(path, {
+        "object": "hnsw",
+        "kind": idx.kind,
+        "metric": idx.metric.name,
+        "m": idx.m,
+        "ef_construction": idx.ef_construction,
+        "n_elems": idx.n_elems,
+        "n_upper": idx.n_upper,
+        "entry": idx.entry,
+        "entry_level": idx.entry_level,
+        "free_slots": idx.free_slots,
+        "seed": idx.seed,
+    })
+
+
+def load_hnsw(table, path: str):
+    from ..index.hnsw import HNSWIndex
+
+    m = _read_manifest(path)
+    if m["object"] != "hnsw":
+        raise DataException(f'expected an hnsw checkpoint, found "{m["object"]}"')
+    idx = HNSWIndex(table, Metric[m["metric"]], m=m["m"],
+                    ef_construction=m["ef_construction"], seed=m["seed"],
+                    build=False)
+    n, nu = m["n_elems"], m["n_upper"]
+    while idx.cap_e < max(n, 1):
+        idx._grow()
+    while idx.cap_u < max(nu, 1):
+        idx.nbr_up = jnp.concatenate(
+            [idx.nbr_up,
+             jnp.full(idx.nbr_up.shape, -1, jnp.int32)])
+        idx.cap_u *= 2
+    idx.n_elems, idx.n_upper = n, nu
+    idx.entry, idx.entry_level = m["entry"], m["entry_level"]
+    idx.free_slots = list(m["free_slots"])
+    if n:
+        idx.nbr0 = idx.nbr0.at[:n].set(jnp.asarray(_load(path, "nbr0")))
+        idx.up_slot[:n] = _load(path, "up_slot")
+        idx.levels[:n] = _load(path, "levels")
+        idx.elem_rows[:n] = _load(path, "elem_rows")
+        vals = []
+        for j, v in enumerate(idx.values):
+            vals.append(v.at[:n].set(jnp.asarray(_load(path, f"values{j}"))))
+        idx.values = tuple(vals)
+        for e in range(n):
+            for r in idx.elem_rows[e]:
+                if r >= 0:
+                    idx.row_to_elem[int(r)] = e
+    if nu:
+        idx.nbr_up = idx.nbr_up.at[:nu].set(jnp.asarray(_load(path, "nbr_up")))
+    if idx.dedup and n:
+        host_vals = [np.asarray(v[:n]) for v in idx.values]
+        from ..index.hnsw import _dup_keys
+
+        keys = _dup_keys(host_vals)
+        for e in range(n):
+            if idx.levels[e] >= 0:
+                idx._dup_index[keys[e]] = e
+    idx._dirty = True
+    return idx
+
+
+def save_ivfflat(idx, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    arrays = {
+        "centroids_f32": idx.centroids_f32,
+        "postings": idx.postings,
+        "list_lens": idx.list_lens,
+        "assignments": idx.assignments,
+    }
+    _save_arrays(path, arrays)
+    _write_manifest(path, {
+        "object": "ivfflat",
+        "metric": idx.metric.name,
+        "lists": idx.lists,
+        "seed": idx.seed,
+        "is_bit": idx._is_bit,
+    })
+
+
+def load_ivfflat(table, path: str):
+    from ..index.ivfflat import IVFFlatIndex
+    from ..ops import distance as D
+
+    m = _read_manifest(path)
+    if m["object"] != "ivfflat":
+        raise DataException(f'expected an ivfflat checkpoint, found "{m["object"]}"')
+    idx = IVFFlatIndex(table, Metric[m["metric"]], lists=m["lists"],
+                       seed=m["seed"], build=False)
+    idx.centroids_f32 = jnp.asarray(_load(path, "centroids_f32"))
+    if idx._is_bit:
+        idx.centroids = D.pack_bits(idx.centroids_f32 > 0.5)
+    else:
+        idx.centroids = idx.centroids_f32
+    idx.postings = jnp.asarray(_load(path, "postings"))
+    idx.list_lens = _load(path, "list_lens")
+    idx.assignments = _load(path, "assignments")
+    idx.indexed_mask = idx.assignments >= 0
+    return idx

@@ -7,13 +7,27 @@ path via __graft_entry__.dryrun_multichip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Host platform must be configured before the CPU client initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+# The environment's sitecustomize registers the axon TPU backend and forces
+# jax_platforms="axon,cpu" (overriding the JAX_PLATFORMS env var), which
+# routes every test through the remote-compile tunnel.  Pin the config back
+# to the in-process CPU so tests run locally on the virtual 8-device mesh.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: HNSW/IVF kernels are compile-heavy (one
+# mono-jit per metric × kind combo); cache across test runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

@@ -1,0 +1,99 @@
+"""Checkpoint round-trip tests — the replica-consistency methodology of
+test/t/001 applied to serialization: save, load into a fresh process-state,
+run the same query, assert identical results."""
+
+import numpy as np
+import pytest
+
+from pgvector_tpu.errors import DataException
+from pgvector_tpu.index.flat import FlatIndex
+from pgvector_tpu.index.hnsw import HNSWIndex
+from pgvector_tpu.index.ivfflat import IVFFlatIndex
+from pgvector_tpu.io import (
+    load_hnsw,
+    load_ivfflat,
+    load_table,
+    save_hnsw,
+    save_ivfflat,
+    save_table,
+)
+from pgvector_tpu.ops.metric import Metric
+from pgvector_tpu.store.table import BitTable, DenseTable, SparseTable
+from pgvector_tpu.types import SparseVec
+
+
+def test_dense_table_roundtrip(tmp_path, rng):
+    db = rng.normal(size=(100, 8)).astype(np.float32)
+    t = DenseTable(8)
+    t.insert(db)
+    t.delete([4, 7])
+    save_table(t, str(tmp_path / "t"))
+    t2 = load_table(str(tmp_path / "t"))
+    q = db[:3]
+    d1, i1 = FlatIndex(t, Metric.L2).search(q, 5)
+    d2, i2 = FlatIndex(t2, Metric.L2).search(q, 5)
+    assert np.allclose(d1, d2) and (i1 == i2).all()
+
+
+def test_bit_table_roundtrip(tmp_path, rng):
+    db = rng.random((50, 40)) < 0.5
+    t = BitTable(40)
+    t.insert(db)
+    save_table(t, str(tmp_path / "b"))
+    t2 = load_table(str(tmp_path / "b"))
+    d1, i1 = FlatIndex(t, Metric.HAMMING).search(db[:2], 5)
+    d2, i2 = FlatIndex(t2, Metric.HAMMING).search(db[:2], 5)
+    assert np.allclose(d1, d2)
+
+
+def test_sparse_table_roundtrip(tmp_path, rng):
+    dense = (rng.normal(size=(60, 30)) * (rng.random((60, 30)) < 0.3)).astype(np.float32)
+    dense[dense.sum(1) == 0, 0] = 1
+    t = SparseTable(30, nnz_cap=16)
+    t.insert([SparseVec.from_dense(r) for r in dense])
+    save_table(t, str(tmp_path / "s"))
+    t2 = load_table(str(tmp_path / "s"))
+    q = [SparseVec.from_dense(dense[0])]
+    d1, i1 = FlatIndex(t, Metric.L2).search(q, 5)
+    d2, i2 = FlatIndex(t2, Metric.L2).search(q, 5)
+    assert np.allclose(d1, d2) and (i1 == i2).all()
+
+
+def test_hnsw_roundtrip(tmp_path, rng):
+    db = rng.normal(size=(300, 8)).astype(np.float32)
+    t = DenseTable(8)
+    t.insert(db)
+    idx = HNSWIndex(t, Metric.L2, m=8, ef_construction=32, wave_size=64)
+    save_hnsw(idx, str(tmp_path / "h"))
+    idx2 = load_hnsw(t, str(tmp_path / "h"))
+    q = rng.normal(size=(5, 8)).astype(np.float32)
+    d1, r1 = idx.search(q, 5, ef_search=40)
+    d2, r2 = idx2.search(q, 5, ef_search=40)
+    assert np.allclose(d1, d2) and (r1 == r2).all()
+    # loaded index accepts inserts
+    rows = t.insert(rng.normal(size=(10, 8)).astype(np.float32))
+    idx2.insert(rows)
+    assert idx2.live_elements == 310
+
+
+def test_ivfflat_roundtrip(tmp_path, rng):
+    db = rng.normal(size=(500, 8)).astype(np.float32)
+    t = DenseTable(8)
+    t.insert(db)
+    idx = IVFFlatIndex(t, Metric.L2, lists=8, seed=1)
+    save_ivfflat(idx, str(tmp_path / "i"))
+    idx2 = load_ivfflat(t, str(tmp_path / "i"))
+    q = rng.normal(size=(5, 8)).astype(np.float32)
+    d1, r1 = idx.search(q, 5, probes=4)
+    d2, r2 = idx2.search(q, 5, probes=4)
+    assert np.allclose(d1, d2) and (r1 == r2).all()
+
+
+def test_bad_magic(tmp_path):
+    import json
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "manifest.json").write_text(json.dumps({"magic": "nope", "version": 1}))
+    with pytest.raises(DataException, match="bad magic"):
+        load_table(str(p))

@@ -1,0 +1,190 @@
+"""HNSW recall + behavior tests — ports the methodology of the reference's
+TAP suite: build recall (test/t/012), insert recall (013), vacuum recall
+(014), duplicate handling (015), iterative scans (041/043), option bounds
+(hnsw.c:238-250)."""
+
+import numpy as np
+import pytest
+
+from pgvector_tpu import config
+from pgvector_tpu.errors import DataException
+from pgvector_tpu.index.flat import FlatIndex
+from pgvector_tpu.index.hnsw import HNSWIndex
+from pgvector_tpu.ops.metric import Metric
+from pgvector_tpu.store.table import BitTable, DenseTable, SparseTable
+from pgvector_tpu.types import SparseVec
+
+
+def recall_at_k(approx_ids, exact_ids):
+    hits = total = 0
+    for a, e in zip(approx_ids, exact_ids):
+        e = set(int(x) for x in e if x >= 0)
+        hits += len(set(int(x) for x in a if x >= 0) & e)
+        total += len(e)
+    return hits / max(total, 1)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    db = rng.normal(size=(1000, 12)).astype(np.float32)
+    q = rng.normal(size=(20, 12)).astype(np.float32)
+    return db, q
+
+
+def build(db, metric, **kw):
+    table = DenseTable(db.shape[1])
+    table.insert(db)
+    kw.setdefault("m", 8)
+    kw.setdefault("ef_construction", 32)
+    kw.setdefault("wave_size", 128)
+    return table, HNSWIndex(table, metric, **kw)
+
+
+# -- build recall (test/t/012: floors ≥0.97-0.99 at k=20 on 10k rows; here
+# scaled down for CI: 1000 rows, floor 0.92 @ ef=80) ----------------------
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.IP, Metric.COSINE, Metric.L1])
+def test_build_recall(metric, data):
+    db, q = data
+    table, idx = build(db, metric)
+    _, e_i = FlatIndex(table, metric).search(q, 10)
+    d, r = idx.search(q, 10, ef_search=80)
+    floor = 0.90 if metric is Metric.IP else 0.92
+    assert recall_at_k(r, e_i) >= floor
+    # distances are user-facing operator values
+    e_d, _ = FlatIndex(table, metric).search(q, 10)
+    assert np.allclose(np.sort(d[0])[:5], np.sort(e_d[0])[:5], rtol=1e-3, atol=1e-3)
+
+
+def test_insert_recall(data):
+    db, q = data
+    table = DenseTable(12)
+    table.insert(db[:700])
+    idx = HNSWIndex(table, Metric.L2, m=8, ef_construction=32, wave_size=128)
+    rows2 = table.insert(db[700:])
+    idx.insert(rows2)
+    _, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    _, r = idx.search(q, 10, ef_search=80)
+    assert recall_at_k(r, e_i) >= 0.9
+
+
+def test_vacuum_recall(data):
+    db, q = data
+    table, idx = build(db, Metric.L2)
+    kill = np.arange(0, 500)
+    table.delete(kill)
+    idx.vacuum()
+    _, r = idx.search(q, 10, ef_search=80)
+    assert (~np.isin(r, kill)).all()
+    _, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    assert recall_at_k(r, e_i) >= 0.9
+    # deleted elements are freed for reuse
+    assert len(idx.free_slots) > 0
+
+
+def test_deleted_rows_filtered_before_vacuum(data):
+    db, q = data
+    table, idx = build(db, Metric.L2)
+    qv = db[3][None, :]
+    _, r = idx.search(qv, 1, ef_search=40)
+    assert r[0, 0] == 3
+    table.delete([3])
+    _, r = idx.search(qv, 1, ef_search=40)
+    assert r[0, 0] != 3  # dead rows masked at scan time (like dead heap tuples)
+
+
+def test_duplicates_share_elements():
+    # hnsw.h:69 — up to 10 heap TIDs per element; duplicate vectors merge
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(50, 8)).astype(np.float32)
+    db = np.concatenate([base, base[:5], base[:5]])  # 10 duplicate rows
+    table = DenseTable(8)
+    table.insert(db)
+    idx = HNSWIndex(table, Metric.L2, m=8, ef_construction=32, wave_size=64)
+    assert idx.live_elements == 50
+    # searching near a duplicated vector returns all its rows
+    d, r = idx.search(base[0][None, :], 3, ef_search=40)
+    got = set(int(x) for x in r[0])
+    assert got == {0, 50, 55}
+    assert np.allclose(d[0], d[0][0])
+
+
+def test_zero_vector_not_indexed_for_cosine():
+    rng = np.random.default_rng(1)
+    db = rng.normal(size=(100, 8)).astype(np.float32)
+    db[7] = 0.0
+    table = DenseTable(8)
+    table.insert(db)
+    idx = HNSWIndex(table, Metric.COSINE, m=8, ef_construction=32, wave_size=64)
+    assert idx.live_elements == 99
+    _, r = idx.search(db[:1], 99, ef_search=200)
+    assert 7 not in set(r[0].tolist())
+
+
+def test_ef_search_caps_results(data):
+    # README.md:933-935 — without iterative scans a query returns at most
+    # ef_search rows
+    db, q = data
+    table, idx = build(db, Metric.L2)
+    d, r = idx.search(q[:2], 50, ef_search=10)
+    finite = np.isfinite(d).sum(axis=1)
+    assert (finite <= 10 * 10).all()  # ef elements × up to 10 tids
+
+
+def test_iterative_scan_filtered(data):
+    db, q = data
+    table, idx = build(db, Metric.L2)
+    fmask = np.zeros(table.capacity, bool)
+    fmask[::20] = True  # 5% selectivity
+    with config.local(**{"hnsw.iterative_scan": "relaxed_order"}):
+        d, r = idx.search(q[:4], 10, ef_search=10, filter_mask=fmask)
+    assert (r >= 0).sum() > 0
+    assert all(x % 20 == 0 for x in r[r >= 0].ravel())
+    # iterative scan finds at least as many as the plain capped scan
+    d2, r2 = idx.search(q[:4], 10, ef_search=10, filter_mask=fmask)
+    assert (r >= 0).sum() >= (r2 >= 0).sum()
+
+
+def test_option_bounds():
+    table = DenseTable(4)
+    with pytest.raises(DataException, match='out of bounds for option "m"'):
+        HNSWIndex(table, Metric.L2, m=1, build=False)
+    with pytest.raises(DataException, match='out of bounds for option "ef_construction"'):
+        HNSWIndex(table, Metric.L2, ef_construction=2000, build=False)
+    with pytest.raises(DataException, match="ef_construction must be greater than or equal"):
+        HNSWIndex(table, Metric.L2, m=40, ef_construction=64, build=False)
+
+
+def test_bit_hnsw():
+    rng = np.random.default_rng(3)
+    db = rng.random((500, 64)) < 0.5
+    q = rng.random((10, 64)) < 0.5
+    table = BitTable(64)
+    table.insert(db)
+    for metric in (Metric.HAMMING, Metric.JACCARD):
+        idx = HNSWIndex(table, metric, m=8, ef_construction=32, wave_size=128,
+                        dedup=False)
+        _, e_i = FlatIndex(table, metric).search(q, 10)
+        _, r = idx.search(q, 10, ef_search=80)
+        assert recall_at_k(r, e_i) >= 0.85  # hamming ties make exact-match loose
+
+
+def test_sparse_hnsw():
+    rng = np.random.default_rng(4)
+    dense = (rng.normal(size=(400, 40)) * (rng.random((400, 40)) < 0.3)).astype(np.float32)
+    dense[dense.sum(axis=1) == 0, 0] = 1.0  # avoid empty rows
+    qdense = (rng.normal(size=(8, 40)) * (rng.random((8, 40)) < 0.3)).astype(np.float32)
+    table = SparseTable(40, nnz_cap=32)
+    table.insert([SparseVec.from_dense(r) for r in dense])
+    idx = HNSWIndex(table, Metric.IP, m=8, ef_construction=32, wave_size=128)
+    queries = [SparseVec.from_dense(r) for r in qdense]
+    _, e_i = FlatIndex(table, Metric.IP).search(queries, 10)
+    _, r = idx.search(queries, 10, ef_search=80)
+    assert recall_at_k(r, e_i) >= 0.85
+
+
+def test_empty_index_search():
+    table = DenseTable(8)
+    idx = HNSWIndex(table, Metric.L2, build=False)
+    d, r = idx.search(np.zeros((2, 8), np.float32), 5)
+    assert (r == -1).all() and np.isinf(d).all()

@@ -1,0 +1,93 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh — the
+analogue of the reference's replica-consistency tests (test/t/001: run the
+same query on two nodes, assert identical results)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pgvector_tpu.index.flat import FlatIndex
+from pgvector_tpu.ops.metric import Metric
+from pgvector_tpu.parallel import (
+    make_mesh,
+    sharded_exact_search,
+    sharded_kmeans_step,
+    ShardedFlatIndex,
+    ShardedHNSWIndex,
+    ShardedIVFFlatIndex,
+)
+from pgvector_tpu.store.table import DenseTable
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "tests need the virtual 8-device mesh"
+    return make_mesh(8)
+
+
+def test_sharded_exact_matches_single_chip(mesh, rng):
+    db = rng.normal(size=(1000, 16)).astype(np.float32)
+    q = rng.normal(size=(10, 16)).astype(np.float32)
+    d, i = sharded_exact_search(mesh, Metric.L2, jnp.asarray(db), jnp.asarray(q), 10)
+    table = DenseTable(16)
+    table.insert(db)
+    e_d, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    # same query on sharded vs single store → identical results (test/t/001)
+    assert np.allclose(np.sqrt(np.asarray(d)), e_d, rtol=1e-4, atol=1e-4)
+    assert sorted(np.asarray(i)[0].tolist()) == sorted(e_i[0].tolist()) or np.allclose(
+        np.sort(np.asarray(d)[0]), np.sort(e_d[0] ** 2), rtol=1e-4
+    )
+
+
+def test_sharded_flat_index(mesh, rng):
+    db = rng.normal(size=(500, 8)).astype(np.float32)
+    q = rng.normal(size=(5, 8)).astype(np.float32)
+    table = DenseTable(8)
+    table.insert(db)
+    table.delete([3])
+    idx = ShardedFlatIndex(mesh, table, Metric.L2)
+    d, i = idx.search(q, 5)
+    e_d, e_i = FlatIndex(table, Metric.L2).search(q, 5)
+    assert np.allclose(d, e_d, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_kmeans_step_matches_local(mesh, rng):
+    data = rng.normal(size=(800, 8)).astype(np.float32)
+    centers = data[:10].copy()
+    new_sharded = np.asarray(
+        sharded_kmeans_step(mesh, jnp.asarray(data), jnp.asarray(centers))
+    )
+    # local reference
+    d2 = ((data[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    assign = d2.argmin(1)
+    ref = np.stack([
+        data[assign == c].mean(0) if (assign == c).any() else centers[c]
+        for c in range(10)
+    ])
+    assert np.allclose(new_sharded, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_ivf(rng):
+    db = rng.normal(size=(2000, 8)).astype(np.float32)
+    q = rng.normal(size=(5, 8)).astype(np.float32)
+    table = DenseTable(8)
+    table.insert(db)
+    idx = ShardedIVFFlatIndex(table, Metric.L2, n_shards=4, lists=8, seed=1)
+    d, i = idx.search(q, 10, probes=8)
+    e_d, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    # full probes on every shard → exhaustive
+    assert np.allclose(np.sort(d, axis=1), np.sort(e_d, axis=1), rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_hnsw(rng):
+    db = rng.normal(size=(800, 8)).astype(np.float32)
+    q = rng.normal(size=(8, 8)).astype(np.float32)
+    table = DenseTable(8)
+    table.insert(db)
+    idx = ShardedHNSWIndex(table, Metric.L2, n_shards=2, m=8,
+                           ef_construction=32, wave_size=128, seed=1)
+    _, r = idx.search(q, 10, ef_search=60)
+    _, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    hits = sum(len(set(map(int, a)) & set(map(int, e))) for a, e in zip(r, e_i))
+    assert hits / (len(q) * 10) >= 0.9
