@@ -301,22 +301,32 @@ class HNSWIndex:
             return
 
         # duplicate merge (InsertTupleInMemory duplicate path,
-        # hnswbuild.c:342-364; FindDuplicateOnDisk hnswinsert.c:641-663)
-        new_rows: List[int] = []
+        # hnswbuild.c:342-364; FindDuplicateOnDisk hnswinsert.c:641-663):
+        # duplicates against existing elements attach a heap TID; duplicates
+        # within this batch group into one new element (max 10 TIDs each)
+        new_rows: List[List[int]] = []  # rows per new element
         new_val_pos: List[int] = []
+        new_keys: List[bytes] = []
         if self.dedup:
             host_vals = [np.asarray(v) for v in values]
             keys = _dup_keys(host_vals)
+            batch_map: Dict[bytes, int] = {}
             for i, row in enumerate(rows):
                 e = self._dup_index.get(keys[i])
                 if e is not None and self._attach_tid(e, int(row)):
                     continue
-                new_rows.append(int(row))
+                j = batch_map.get(keys[i])
+                if j is not None and len(new_rows[j]) < HEAPTIDS:
+                    new_rows[j].append(int(row))
+                    continue
+                batch_map[keys[i]] = len(new_rows)
+                new_rows.append([int(row)])
                 new_val_pos.append(i)
-                self._dup_index[keys[i]] = self._peek_slot(len(new_rows) - 1)
+                new_keys.append(keys[i])
         else:
-            new_rows = [int(r) for r in rows]
+            new_rows = [[int(r)] for r in rows]
             new_val_pos = list(range(len(rows)))
+            new_keys = [None] * len(rows)
 
         if not new_rows:
             return
@@ -332,8 +342,11 @@ class HNSWIndex:
         for j, e in enumerate(elems):
             self.levels[e] = lv[j]
             self.elem_rows[e, :] = -1
-            self.elem_rows[e, 0] = new_rows[j]
-            self.row_to_elem[new_rows[j]] = e
+            for t, row in enumerate(new_rows[j]):
+                self.elem_rows[e, t] = row
+                self.row_to_elem[row] = e
+            if new_keys[j] is not None:
+                self._dup_index[new_keys[j]] = e
             if lv[j] >= 1 and self.up_slot[e] < 0:
                 self.up_slot[e] = self._alloc_upper()
         self._dirty = True
@@ -350,13 +363,6 @@ class HNSWIndex:
             w *= 2
         for wave in waves:
             self._insert_wave(np.asarray(elems)[wave], lv[wave])
-
-    def _peek_slot(self, offset: int) -> int:
-        """Predict the element id the offset-th upcoming allocation gets."""
-        n_free = len(self.free_slots)
-        if offset < n_free:
-            return self.free_slots[n_free - 1 - offset]
-        return self.n_elems + (offset - n_free)
 
     def _attach_tid(self, elem: int, row: int) -> bool:
         """AddDuplicateOnDisk (hnswinsert.c:585-636): append a heap TID to
@@ -432,7 +438,11 @@ class HNSWIndex:
         sizes are padded to powers of two so jit caches stay small."""
         self._sync_device_meta()
         nq = len(elems)
-        nq_pad = _round_pow2(max(nq, 8))
+        # pad every wave to the fixed wave_size so one compiled shape serves
+        # the whole build (warmup waves waste some compute, not compiles)
+        nq_pad = min(_round_pow2(max(nq, 8)), _round_pow2(self.wave_size))
+        if nq_pad < nq:
+            nq_pad = _round_pow2(nq)
         e_pad = np.concatenate([elems, np.full(nq_pad - nq, elems[0], elems.dtype)])
         lv_pad = np.concatenate([lv, np.zeros(nq_pad - nq, lv.dtype)])
         qs = self._elems_as_queries(jnp.asarray(e_pad.astype(np.int32)))
@@ -478,13 +488,25 @@ class HNSWIndex:
                 continue
             q_sel = np.flatnonzero(mask_q)
             pd, pi = pools[lc]
-            pd = pd[jnp.asarray(q_sel)]
-            pi = pi[jnp.asarray(q_sel)]
-            sel_elems = self._select_for(
-                jnp.asarray(elems[q_sel].astype(np.int32)), pd, pi, lm
-            )  # (Qs, lm) element ids, -1 pad
-            self._write_own_lists(elems[q_sel], lc, sel_elems)
-            self._apply_backlinks(elems[q_sel], lc, np.asarray(sel_elems), lm)
+            block = _round_pow2(min(len(q_sel), self.wave_size))
+            for start in range(0, len(q_sel), block):
+                chunk = q_sel[start: start + block]
+                pad = block - len(chunk)
+                idx_dev = jnp.asarray(np.concatenate(
+                    [chunk, np.zeros(pad, chunk.dtype)]).astype(np.int64))
+                pd_c = pd[idx_dev]
+                pi_c = pi[idx_dev]
+                if pad:
+                    mask = jnp.arange(block) < len(chunk)
+                    pi_c = jnp.where(mask[:, None], pi_c, -1)
+                    pd_c = jnp.where(mask[:, None], pd_c, jnp.inf)
+                base = np.concatenate(
+                    [elems[chunk], np.full(pad, -1, elems.dtype)])
+                sel_elems = self._select_for(
+                    jnp.asarray(base.astype(np.int32)), pd_c, pi_c, lm
+                )[: len(chunk)]
+                self._write_own_lists(elems[chunk], lc, sel_elems)
+                self._apply_backlinks(elems[chunk], lc, np.asarray(sel_elems), lm)
 
     def _select_for(self, base_elems, pool_d, pool_i, lm: int) -> jnp.ndarray:
         """SelectNeighbors over each base element's candidate pool."""
@@ -514,28 +536,40 @@ class HNSWIndex:
                     pairs.setdefault(int(n), []).append(int(e))
         if not pairs:
             return
-        targets = np.array(sorted(pairs.keys()), np.int32)
-        t_pad = _round_pow2(len(targets))
-        smax = _round_pow2(max(len(v) for v in pairs.values()))
-        new_src = np.full((t_pad, smax), -1, np.int32)
-        for i, t in enumerate(targets):
-            srcs = pairs[int(t)][:smax]
-            new_src[i, : len(srcs)] = srcs
-        t_full = np.full(t_pad, -1, np.int32)
-        t_full[: len(targets)] = targets
-        t_dev = jnp.asarray(t_full)
-        old = self._neighbors_of_level(t_dev, level)  # (T, lm)
-        new_lists = K.merge_backlinks(
-            self.kind, self.metric, self.values, old, jnp.asarray(new_src),
-            t_dev, lm,
-        )
-        real = jnp.asarray(targets)
-        new_real = new_lists[: len(targets)]
-        if level == 0:
-            self.nbr0 = self.nbr0.at[real].set(new_real)
-        else:
-            slots = jnp.asarray(self.up_slot[targets])
-            self.nbr_up = self.nbr_up.at[slots, level - 1].set(new_real)
+        SMAX = 8  # new sources folded per round; overflow runs extra rounds
+        rnd = 0
+        while pairs:
+            entries = [(t, srcs[rnd * SMAX:(rnd + 1) * SMAX])
+                       for t, srcs in pairs.items()
+                       if len(srcs) > rnd * SMAX]
+            if not entries:
+                break
+            self._backlink_round(entries, level, lm, SMAX)
+            rnd += 1
+
+    def _backlink_round(self, entries, level: int, lm: int, smax: int) -> None:
+        targets = np.array([t for t, _ in entries], np.int32)
+        block = _round_pow2(min(len(targets), max(self.wave_size, 1)))
+        for start in range(0, len(targets), block):
+            t_chunk = targets[start: start + block]
+            pad = block - len(t_chunk)
+            new_src = np.full((block, smax), -1, np.int32)
+            for i, (_, srcs) in enumerate(entries[start: start + block]):
+                new_src[i, : len(srcs)] = srcs
+            t_full = np.concatenate([t_chunk, np.full(pad, -1, np.int32)])
+            t_dev = jnp.asarray(t_full)
+            old = self._neighbors_of_level(t_dev, level)  # (T, lm)
+            new_lists = K.merge_backlinks(
+                self.kind, self.metric, self.values, old, jnp.asarray(new_src),
+                t_dev, lm,
+            )
+            real = jnp.asarray(t_chunk)
+            new_real = new_lists[: len(t_chunk)]
+            if level == 0:
+                self.nbr0 = self.nbr0.at[real].set(new_real)
+            else:
+                slots = jnp.asarray(self.up_slot[t_chunk])
+                self.nbr_up = self.nbr_up.at[slots, level - 1].set(new_real)
 
     # ------------------------------------------------------------------ search
     def search(

@@ -56,7 +56,7 @@ def test_dense_deletes(rng):
     idx = FlatIndex(table, Metric.L2, tile=32)
     q = db[5][None, :]
     dists, ids = idx.search(q, 1)
-    assert ids[0, 0] == 5 and dists[0, 0] == 0
+    assert ids[0, 0] == 5 and dists[0, 0] < 1e-2  # matmul-form L2 has ~1e-3 residual
     table.delete([5])
     dists, ids = idx.search(q, 1)
     assert ids[0, 0] != 5

@@ -1,0 +1,110 @@
+"""Function-surface, planner, and telemetry tests."""
+
+import numpy as np
+import pytest
+
+from pgvector_tpu import functions as F
+from pgvector_tpu.errors import DataException
+from pgvector_tpu.ops.metric import Metric
+from pgvector_tpu.planner import choose_path, hnsw_scan_tuples, ivfflat_scan_tuples
+from pgvector_tpu.store.table import DenseTable
+from pgvector_tpu.types import Bit, HalfVec, SparseVec, Vector
+from pgvector_tpu.utils import timers, Progress, table_hbm_bytes
+
+
+def test_distance_functions():
+    a, b = Vector([0, 0]), Vector([3, 4])
+    assert F.l2_distance(a, b) == 5.0
+    assert F.inner_product(Vector([1, 2]), Vector([3, 4])) == 11.0
+    assert F.negative_inner_product(Vector([1, 2]), Vector([3, 4])) == -11.0
+    assert F.l1_distance(a, b) == 7.0
+    assert F.cosine_distance(Vector([1, 0]), Vector([0, 1])) == pytest.approx(1.0)
+    assert F.hamming_distance(Bit("1100"), Bit("1001")) == 2.0
+    assert F.jaccard_distance(Bit("1111"), Bit("1111")) == 0.0
+
+
+def test_type_mismatch():
+    with pytest.raises(DataException, match="operator does not exist"):
+        F.l2_distance(Vector([1, 2]), HalfVec([1, 2]))
+
+
+def test_utilities():
+    v = Vector([3, 4])
+    assert F.l2_norm(v) == 5.0
+    assert F.vector_dims(v) == 2
+    assert F.l2_normalize(v).to_text() == "[0.6,0.8]"
+    assert F.binary_quantize(Vector([1, -1])).to_text() == "10"
+    assert F.subvector(Vector([1, 2, 3]), 2, 2).to_text() == "[2,3]"
+    assert F.concat(Vector([1]), Vector([2])).to_text() == "[1,2]"
+
+
+def test_halfvec_aggregates():
+    vs = [HalfVec([1, 2]), HalfVec([3, 4])]
+    assert F.avg(vs).to_text() == "[2,3]"
+    assert F.sum_(vs).to_text() == "[4,6]"
+    assert F.avg([]) is None
+
+
+def test_cast_matrix():
+    v = Vector([0, 1.5, 0])
+    h = F.to_halfvec(v)
+    s = F.to_sparsevec(v)
+    assert h.to_text() == "[0,1.5,0]"
+    assert s.to_text() == "{2:1.5}/3"
+    assert F.to_vector(s).to_text() == "[0,1.5,0]"
+    assert F.to_vector(h).to_text() == "[0,1.5,0]"
+    assert F.to_vector([1, 2, 3]).to_text() == "[1,2,3]"
+    assert F.to_vector("[1,2]").to_text() == "[1,2]"
+    assert F.to_bit(Vector([1, -2, 3])).to_text() == "101"
+    with pytest.raises(DataException, match="expected 4 dimensions, not 3"):
+        F.to_vector([1, 2, 3], typmod=4)
+
+
+def test_cost_model_shapes():
+    # more probes/ef → more tuples; bigger n → more tuples
+    assert ivfflat_scan_tuples(10000, 100, 10) > ivfflat_scan_tuples(10000, 100, 1)
+    assert hnsw_scan_tuples(10**6, 16, 40, 4) > hnsw_scan_tuples(10**4, 16, 40, 4)
+    assert hnsw_scan_tuples(10**6, 16, 200, 4) > hnsw_scan_tuples(10**6, 16, 40, 4)
+
+
+def test_choose_path(rng):
+    from pgvector_tpu.index.hnsw import HNSWIndex
+    from pgvector_tpu.index.ivfflat import IVFFlatIndex
+
+    db = rng.normal(size=(2000, 8)).astype(np.float32)
+    table = DenseTable(8)
+    table.insert(db)
+    hnsw = HNSWIndex(table, Metric.L2, m=8, ef_construction=32, wave_size=128)
+    ivf = IVFFlatIndex(table, Metric.L2, lists=10, seed=1)
+    # with ORDER BY an index path beats the exact scan
+    p = choose_path(table, [hnsw, ivf], Metric.L2)
+    assert p.kind in ("hnsw", "ivfflat")
+    # heavy probing makes IVFFlat pricier than HNSW (ivfflat.c:85-151 shape)
+    p = choose_path(table, [hnsw, ivf], Metric.L2, probes=10)
+    assert p.kind == "hnsw"
+    # without ORDER BY only the exact scan is usable (hnsw.c:147-160)
+    p = choose_path(table, [hnsw, ivf], Metric.L2, order_by=False)
+    assert p.kind == "exact"
+    # wrong metric index is not offered
+    p = choose_path(table, [hnsw], Metric.COSINE)
+    assert p.kind == "exact"
+
+
+def test_timers_and_memory(rng):
+    timers.enabled = True
+    timers.reset()
+    with timers.phase("demo"):
+        pass
+    rep = timers.report()
+    assert rep["demo"]["count"] == 1
+    timers.enabled = False
+
+    table = DenseTable(16)
+    table.insert(rng.normal(size=(100, 16)).astype(np.float32))
+    assert table_hbm_bytes(table) > 100 * 16 * 4
+
+    events = []
+    p = Progress(lambda ph, d, t: events.append((ph, d, t)))
+    p.set_phase("loading tuples", 10)
+    p.advance(5)
+    assert events == [("loading tuples", 0, 10), ("loading tuples", 5, 10)]
