@@ -46,6 +46,11 @@ def make_data(n, nq, dim=128, seed=0):
 def main():
     import jax
 
+    # persistent compilation cache — first round pays remote compiles once
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from pgvector_tpu.index.flat import FlatIndex
     from pgvector_tpu.index.hnsw import HNSWIndex
     from pgvector_tpu.ops.metric import Metric
