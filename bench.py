@@ -26,6 +26,10 @@ import os
 import sys
 import time
 
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
 import numpy as np
 
 PG_BASELINE_QPS = 1000.0  # assumed pgvector single-core QPS at recall≈0.95
@@ -62,26 +66,31 @@ def main():
     ef_sweep = [int(x) for x in os.environ.get("BENCH_EF", "40,80,120,200").split(",")]
     k = 10
 
+    log(f"bench: n={n} nq={nq} backend={jax.default_backend()}")
     db, qs = make_data(n, nq)
     table = DenseTable(128, capacity=n)
     table.insert(db)
+    log("bench: data loaded")
 
     # ground truth (exact, on device)
     flat = FlatIndex(table, Metric.L2, tile=16384)
     t0 = time.time()
     _, gt = flat.search(qs, k)
     gt_s = time.time() - t0
+    log(f"bench: exact ground truth {gt_s:.1f}s")
 
     # build
     t0 = time.time()
     idx = HNSWIndex(table, Metric.L2, m=16, ef_construction=64,
                     wave_size=1024, dedup=False)
     build_s = time.time() - t0
+    log(f"bench: hnsw build {build_s:.1f}s")
 
     results = []
     for ef in ef_sweep:
         # warm up/compile
         idx.search(qs[:batch], k, ef_search=ef)
+        log(f"bench: ef={ef} compiled")
         t0 = time.time()
         got = []
         for s in range(0, nq, batch):

@@ -53,6 +53,7 @@ from ..ops import distance as D
 from ..ops.metric import Metric
 from ..ops.topk import topk_smallest
 from ..store.table import BitTable, DenseTable, SparseTable
+from ..utils.telemetry import Progress, timers
 from . import hnsw_kernels as K
 
 # reloption bounds — src/hnsw.h:53-62
@@ -92,6 +93,7 @@ class HNSWIndex:
         wave_size: int = 1024,
         dedup: bool = True,
         notice_hook=None,
+        progress=None,
     ):
         if not MIN_M <= m <= MAX_M:
             raise DataException(f'value {m} out of bounds for option "m"')
@@ -110,6 +112,7 @@ class HNSWIndex:
         self.wave_size = wave_size
         self.dedup = dedup
         self.notice_hook = notice_hook or (lambda msg: None)
+        self.progress = progress or Progress()
         self.ml = 1.0 / math.log(m)  # hnsw.h:130
 
         if isinstance(table, DenseTable):
@@ -281,10 +284,14 @@ class HNSWIndex:
     # ------------------------------------------------------------------ build
     def build(self) -> None:
         t = self.table
+        # phases mirror hnswbuildphasename (hnsw.c:117-129)
+        self.progress.set_phase("initializing")
         live = np.flatnonzero(np.asarray(t.valid[: t.count]))
         if len(live) == 0:
             return
-        self._insert_rows(live, initial_build=True)
+        self.progress.set_phase("loading tuples", len(live))
+        with timers.phase("hnsw.build"):
+            self._insert_rows(live, initial_build=True)
 
     def insert(self, rows) -> None:
         """aminsert analogue (hnswinsert.c:695-743) for a batch of new rows."""
@@ -362,7 +369,9 @@ class HNSWIndex:
             pos += step
             w *= 2
         for wave in waves:
-            self._insert_wave(np.asarray(elems)[wave], lv[wave])
+            with timers.phase("hnsw.wave"):
+                self._insert_wave(np.asarray(elems)[wave], lv[wave])
+            self.progress.advance(len(wave))
 
     def _attach_tid(self, elem: int, row: int) -> bool:
         """AddDuplicateOnDisk (hnswinsert.c:585-636): append a heap TID to

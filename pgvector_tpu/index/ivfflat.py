@@ -43,6 +43,7 @@ from ..ops import distance as D
 from ..ops.metric import Metric
 from ..ops.topk import merge_topk, topk_smallest
 from ..store.table import BitTable, DenseTable
+from ..utils.telemetry import Progress, timers
 from .ivf_kmeans import train_centers
 
 #: reloption bounds — src/ivfflat.h:54-58
@@ -69,6 +70,7 @@ class IVFFlatIndex:
         seed: int = 0,
         build: bool = True,
         notice_hook=None,
+        progress=None,
     ):
         if not MIN_LISTS <= lists <= MAX_LISTS:
             raise DataException(
@@ -79,6 +81,7 @@ class IVFFlatIndex:
         self.lists = lists
         self.seed = seed
         self.notice_hook = notice_hook or (lambda msg: None)
+        self.progress = progress or Progress()
         self._is_bit = isinstance(table, BitTable)
         if self._is_bit:
             if metric not in BIT_OPCLASSES:
@@ -139,8 +142,10 @@ class IVFFlatIndex:
         return vals, np.ones(len(rows), bool)
 
     def build(self) -> None:
-        """BuildIndex — ivfbuild.c:1040-1060."""
+        """BuildIndex — ivfbuild.c:1040-1060; phases mirror
+        ivfflatbuildphasename (ivfflat.c:64-80)."""
         t = self.table
+        self.progress.set_phase("initializing")
         live = np.flatnonzero(np.asarray(t.valid[: t.count]))
         n_live = len(live)
         rng = np.random.default_rng(self.seed)
@@ -161,6 +166,7 @@ class IVFFlatIndex:
             )
 
         # phase 2: k-means
+        self.progress.set_phase("performing k-means")
         if len(sample_rows) == 0:
             # RandomCenters on empty table (ivfkmeans.c:110-133)
             dim = self.table.dim
@@ -177,14 +183,15 @@ class IVFFlatIndex:
             samples, keep = self._index_values(sample_rows)
             if not keep.all():
                 samples = samples[jnp.asarray(np.flatnonzero(keep))]
-            centers = train_centers(
-                samples,
-                self.lists,
-                spherical=self._spherical,
-                binary=self._is_bit,
-                normalize_data=self._normalized,
-                seed=self.seed,
-            )
+            with timers.phase("ivfflat.kmeans"):
+                centers = train_centers(
+                    samples,
+                    self.lists,
+                    spherical=self._spherical,
+                    binary=self._is_bit,
+                    normalize_data=self._normalized,
+                    seed=self.seed,
+                )
         self.centroids_f32 = centers
         if self._is_bit:
             self.centroids = D.pack_bits(centers > 0.5)
@@ -192,7 +199,10 @@ class IVFFlatIndex:
             self.centroids = centers
 
         # phases 3+4: assign + load
-        self._assign_all(live)
+        self.progress.set_phase("assigning tuples", len(live))
+        with timers.phase("ivfflat.assign"):
+            self._assign_all(live)
+        self.progress.set_phase("loading tuples", len(live))
 
     def _assign_all(self, rows: np.ndarray) -> None:
         """Assignment matmul + posting scatter (ivfbuild.c:971-1035)."""

@@ -1,0 +1,81 @@
+"""Quantize/subvector + re-rank pipeline tests (README.md:558-663) and
+halfvec (bf16) index coverage."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pgvector_tpu.index.flat import FlatIndex
+from pgvector_tpu.index.hnsw import HNSWIndex
+from pgvector_tpu.index.ivfflat import IVFFlatIndex
+from pgvector_tpu.ops.metric import Metric
+from pgvector_tpu.rerank import BinaryQuantizedIndex, SubvectorIndex, exact_rerank
+from pgvector_tpu.store.table import DenseTable
+
+
+def recall(r, e):
+    return sum(len(set(map(int, a)) & set(map(int, b))) for a, b in zip(r, e)) / r.size
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    db = rng.normal(size=(1500, 32)).astype(np.float32)
+    q = rng.normal(size=(10, 32)).astype(np.float32)
+    return db, q
+
+
+def test_exact_rerank(data):
+    db, q = data
+    table = DenseTable(32)
+    table.insert(db)
+    # candidates = the true top-30 shuffled; re-rank must emit the top-5
+    e_d, e_i = FlatIndex(table, Metric.L2).search(q, 30)
+    rng = np.random.default_rng(0)
+    shuffled = np.stack([rng.permutation(row) for row in e_i])
+    d, i = exact_rerank(table, Metric.L2, q, shuffled, 5)
+    assert np.array_equal(i, e_i[:, :5])
+    assert np.allclose(d, e_d[:, :5], rtol=1e-4, atol=1e-4)
+
+
+def test_binary_quantized_pipeline(data):
+    db, q = data
+    table = DenseTable(32)
+    table.insert(db)
+    idx = BinaryQuantizedIndex(table, Metric.L2, m=8, ef_construction=32,
+                               rerank_factor=16, wave_size=256)
+    _, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    d, r = idx.search(q, 10, ef_search=200)
+    # 32 sign bits on gaussian data is the worst case for BQ (the recipe
+    # targets high-dim normalized embeddings, README.md:589-609) — assert
+    # the pipeline beats random by a wide margin rather than a high floor
+    assert recall(r, e_i) >= 0.35
+    # inserts flow through the shadow bit table
+    rows = table.insert(db[:5] + 0.01)
+    idx.insert(rows)
+
+
+def test_subvector_pipeline(data):
+    db, q = data
+    table = DenseTable(32)
+    table.insert(db)
+    idx = SubvectorIndex(table, Metric.L2, sub_dim=16, m=8,
+                         ef_construction=32, rerank_factor=16, wave_size=256)
+    _, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    d, r = idx.search(q, 10, ef_search=200)
+    # half the dims carries ~half the signal on isotropic data; over-fetch
+    # plus exact re-rank recovers most of the true top-10
+    assert recall(r, e_i) >= 0.65
+
+
+def test_halfvec_bf16_indexes(data):
+    db, q = data
+    table = DenseTable(32, dtype=jnp.bfloat16)
+    table.insert(db)
+    _, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    hnsw = HNSWIndex(table, Metric.L2, m=8, ef_construction=32, wave_size=256)
+    _, r = hnsw.search(q, 10, ef_search=80)
+    assert recall(r, e_i) >= 0.85
+    ivf = IVFFlatIndex(table, Metric.L2, lists=8, seed=1)
+    _, r = ivf.search(q, 10, probes=8)
+    assert recall(r, e_i) >= 0.95
