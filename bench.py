@@ -64,6 +64,7 @@ def main():
     nq = int(os.environ.get("BENCH_Q", 1000))
     batch = int(os.environ.get("BENCH_BATCH", 250))
     ef_sweep = [int(x) for x in os.environ.get("BENCH_EF", "40,80,120,200").split(",")]
+    expand = int(os.environ.get("BENCH_EXPAND", 4))
     k = 10
 
     log(f"bench: n={n} nq={nq} backend={jax.default_backend()}")
@@ -82,7 +83,7 @@ def main():
     # build
     t0 = time.time()
     idx = HNSWIndex(table, Metric.L2, m=16, ef_construction=64,
-                    wave_size=1024, dedup=False)
+                    wave_size=1024, dedup=False, beam_expand=expand)
     build_s = time.time() - t0
     log(f"bench: hnsw build {build_s:.1f}s")
 
@@ -119,6 +120,7 @@ def main():
         "build_s": round(build_s, 1),
         "exact_gt_s": round(gt_s, 1),
         "n": n,
+        "beam_expand": expand,
         "sweep": results,
         "backend": jax.default_backend(),
     }

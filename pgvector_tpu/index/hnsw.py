@@ -91,6 +91,7 @@ class HNSWIndex:
         seed: int = 0,
         build: bool = True,
         wave_size: int = 1024,
+        beam_expand: int = 1,
         dedup: bool = True,
         notice_hook=None,
         progress=None,
@@ -110,6 +111,9 @@ class HNSWIndex:
         self.ef_construction = ef_construction
         self.seed = seed
         self.wave_size = wave_size
+        #: candidates expanded per beam hop (1 = exact Algorithm 2 order;
+        #: >1 = fewer sequential hops at the same ef bound)
+        self.beam_expand = beam_expand
         self.dedup = dedup
         self.notice_hook = notice_hook or (lambda msg: None)
         self.progress = progress or Progress()
@@ -463,6 +467,7 @@ class HNSWIndex:
             jnp.int32(self.entry), jnp.int32(self.entry_level),
             ef=self.ef_construction, m=self.m,
             l_unroll=self._l_unroll, exclude_self=exclude_self,
+            expand=self.beam_expand,
         )
         pools = {}
         for lc in range(min(self.entry_level, int(lv.max())) , -1, -1):
@@ -623,7 +628,7 @@ class HNSWIndex:
             self.table.valid, fmask, qs, jnp.int32(self.entry),
             jnp.int32(self.entry_level),
             ef=ef, m=self.m, l_unroll=self._l_unroll, k=k,
-            heaptids=HEAPTIDS,
+            heaptids=HEAPTIDS, expand=self.beam_expand,
         )
         return self._user_dist(d), r
 

@@ -198,25 +198,53 @@ def _get_visited(visited: jnp.ndarray, elems: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited, ef: int):
-    """One expansion hop: pop nearest unexpanded candidate per query, gather
-    its neighbors, score the unvisited ones, merge into the pool."""
+def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
+              ef: int, expand: int = 1):
+    """One expansion hop: pop the ``expand`` nearest unexpanded candidates
+    per query, gather their neighbors, score the unvisited ones, merge into
+    the pool.  expand=1 is exactly Algorithm 2's best-first order;
+    expand>1 trades a slightly relaxed expansion order for ~expand× fewer
+    sequential hops (the standard GPU/TPU beam widening — same ef bound,
+    recall validated by the test floors)."""
     nq = pool_d.shape[0]
-    rows_q = jnp.arange(nq, dtype=jnp.int32)
     cand_mask = (~pool_x) & (pool_i >= 0)
     cand_d = jnp.where(cand_mask, pool_d, jnp.inf)
-    sel = jnp.argmin(cand_d, axis=1)
-    sel_d = jnp.take_along_axis(cand_d, sel[:, None], axis=1)[:, 0]
     worst = pool_d[:, ef - 1]
-    # done: no unexpanded candidate, or best unexpanded is worse than a full
-    # pool's worst (the W-bound termination of Algorithm 2)
-    done = jnp.isinf(sel_d) | (sel_d > worst)
-    pool_x = pool_x.at[rows_q, sel].set(jnp.where(done, pool_x[rows_q, sel], True))
-    sel_elem = jnp.where(done, -1, pool_i[rows_q, sel])
-    nbrs = neighbors_of(sel_elem)
-    nbrs = jnp.where(sel_elem[:, None] >= 0, nbrs, -1)
+    if expand == 1:
+        rows_q = jnp.arange(nq, dtype=jnp.int32)
+        sel = jnp.argmin(cand_d, axis=1)
+        sel_d = jnp.take_along_axis(cand_d, sel[:, None], axis=1)[:, 0]
+        # done: no unexpanded candidate, or best unexpanded is worse than a
+        # full pool's worst (the W-bound termination of Algorithm 2)
+        done = jnp.isinf(sel_d) | (sel_d > worst)
+        pool_x = pool_x.at[rows_q, sel].set(
+            jnp.where(done, pool_x[rows_q, sel], True))
+        sel_elem = jnp.where(done, -1, pool_i[rows_q, sel])[:, None]  # (Q, 1)
+    else:
+        neg, sel = jax.lax.top_k(-cand_d, expand)  # (Q, E) best unexpanded
+        sel_d = -neg
+        done = jnp.isinf(sel_d[:, 0]) | (sel_d[:, 0] > worst)
+        # expand entries that are real candidates and not past the bound
+        ok = jnp.isfinite(sel_d) & (sel_d <= worst[:, None]) & ~done[:, None]
+        rows_q = jnp.broadcast_to(
+            jnp.arange(nq, dtype=jnp.int32)[:, None], sel.shape)
+        pool_x = pool_x.at[rows_q.reshape(-1), sel.reshape(-1)].max(ok.reshape(-1))
+        sel_elem = jnp.where(ok, jnp.take_along_axis(pool_i, sel, axis=1), -1)
+    # gather all selected candidates' neighbors: (Q, E·lm)
+    parts = [neighbors_of(sel_elem[:, e]) for e in range(sel_elem.shape[1])]
+    nbrs = jnp.concatenate(
+        [jnp.where(sel_elem[:, e][:, None] >= 0, p, -1)
+         for e, p in enumerate(parts)], axis=1)
     seen = _get_visited(visited, nbrs)
     nbrs = jnp.where(seen, -1, nbrs)
+    # dedupe within the hop (two expanded nodes sharing a neighbor)
+    if sel_elem.shape[1] > 1:
+        c = nbrs.shape[1]
+        eq = nbrs[:, :, None] == nbrs[:, None, :]
+        idx = jnp.arange(c)
+        earlier = idx[None, :, None] > idx[None, None, :]
+        dup = jnp.any(eq & earlier & (nbrs[:, :, None] >= 0), axis=2)
+        nbrs = jnp.where(dup, -1, nbrs)
     visited = _set_visited(visited, nbrs)
     nd = score(qs, nbrs)
     d = jnp.concatenate([pool_d, nd], axis=1)
@@ -226,13 +254,13 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited, ef: int)
     return d[:, :ef], i[:, :ef], x[:, :ef].astype(jnp.bool_), visited, done
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "metric", "ef"))
+@functools.partial(jax.jit, static_argnames=("kind", "metric", "ef", "expand"))
 def _hop_step(kind, metric, values, nbr0, nbr_up, up_slot, level, qs,
-              pool_d, pool_i, pool_x, visited, ef: int):
+              pool_d, pool_i, pool_x, visited, ef: int, expand: int = 1):
     score = make_scorer(kind, metric, values)
     nbrs_of = _neighbors_closure(nbr0, nbr_up, up_slot)
     return _hop_body(score, lambda e: nbrs_of(e, level), qs,
-                     pool_d, pool_i, pool_x, visited, ef)
+                     pool_d, pool_i, pool_x, visited, ef, expand)
 
 
 def _init_pool(qs, init_d, init_i, ef: int):
@@ -252,7 +280,7 @@ def _init_pool(qs, init_d, init_i, ef: int):
 
 
 def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
-                 ef: int, lm: int, max_steps: int):
+                 ef: int, lm: int, max_steps: int, expand: int = 1):
     """Algorithm 2 (HnswSearchLayer, hnswutils.c:822-985), batched, as a
     traced while_loop — for use inside the TPU mono-jits."""
     pool_d, pool_i, pool_x = _init_pool(qs, init_d, init_i, ef)
@@ -265,7 +293,8 @@ def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
     def body(state):
         pool_d, pool_i, pool_x, visited, step, _ = state
         pool_d, pool_i, pool_x, visited, done = _hop_body(
-            score, neighbors_of, qs, pool_d, pool_i, pool_x, visited, ef
+            score, neighbors_of, qs, pool_d, pool_i, pool_x, visited, ef,
+            expand,
         )
         return pool_d, pool_i, pool_x, visited, step + 1, done
 
@@ -283,7 +312,8 @@ def _pool_seed(qs, init_d, init_i, visited, ef: int):
 
 
 def search_layer_host(kind, metric, values, nbr0, nbr_up, up_slot, level,
-                      qs, init_d, init_i, visited, ef: int, max_steps: int):
+                      qs, init_d, init_i, visited, ef: int, max_steps: int,
+                      expand: int = 1):
     """Host-driven Algorithm 2: the same hop step, with termination checked
     on the host (CPU backend path)."""
     pool_d, pool_i, pool_x, visited = _pool_seed(qs, init_d, init_i, visited, ef)
@@ -291,7 +321,7 @@ def search_layer_host(kind, metric, values, nbr0, nbr_up, up_slot, level,
     for _ in range(max_steps):
         pool_d, pool_i, pool_x, visited, done = _hop_step(
             kind, metric, values, nbr0, nbr_up, up_slot, lvl, qs,
-            pool_d, pool_i, pool_x, visited, ef
+            pool_d, pool_i, pool_x, visited, ef, expand
         )
         if bool(jnp.all(done)):
             break
@@ -521,11 +551,12 @@ def _wave_level_loop(score, qs, lv, entry, entry_level, ef, m, l_unroll,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "metric", "ef", "m", "l_unroll", "exclude_self"),
+    static_argnames=("kind", "metric", "ef", "m", "l_unroll", "exclude_self",
+                     "expand"),
 )
 def wave_search(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
                 entry, entry_level, ef: int, m: int, l_unroll: int,
-                exclude_self: bool):
+                exclude_self: bool, expand: int = 1):
     """Full Algorithm 1 search for a wave (TPU mono-jit).  Returns stacked
     per-level pools (l_unroll+1, Q, ef); levels above the dynamic entry
     level terminate in one hop, so one compilation serves every graph
@@ -544,6 +575,7 @@ def wave_search(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
         pd, pi, _ = search_layer(
             score, lambda e, _lc=lc: nbrs(e, jnp.int32(_lc)), qs_,
             pool_d, pool_i, visited, ef=ef, lm=2 * m, max_steps=4 * ef + 64,
+            expand=expand,
         )
         return pd, pi
 
@@ -554,7 +586,7 @@ def wave_search(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
 
 def wave_search_host(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids,
                      lv, entry, entry_level, ef: int, m: int, l_unroll: int,
-                     exclude_self: bool):
+                     exclude_self: bool, expand: int = 1):
     """CPU variant: same level structure, host-driven loops."""
     score = lambda q, r: score_block(kind, metric, values, q, r)
     cap_e = nbr0.shape[0]
@@ -569,6 +601,7 @@ def wave_search_host(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids,
         pd, pi, _ = search_layer_host(
             kind, metric, values, nbr0, nbr_up, up_slot, lc, qs_,
             pool_d, pool_i, visited, ef=ef, max_steps=4 * ef + 64,
+            expand=expand,
         )
         return pd, pi
 
@@ -607,11 +640,12 @@ def _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "metric", "ef", "m", "l_unroll", "k", "heaptids"),
+    static_argnames=("kind", "metric", "ef", "m", "l_unroll", "k", "heaptids",
+                     "expand"),
 )
 def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                  row_valid, fmask, qs, entry, entry_level, ef: int, m: int,
-                 l_unroll: int, k: int, heaptids: int):
+                 l_unroll: int, k: int, heaptids: int, expand: int = 1):
     """Algorithm 5 (hnswscan.c:25-56), TPU mono-jit."""
     score = make_scorer(kind, metric, values)
     nbrs = _neighbors_closure(nbr0, nbr_up, up_slot)
@@ -628,6 +662,7 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
     pool_d, pool_i, _ = search_layer(
         score, lambda e: nbrs(e, jnp.int32(0)), qs, cur_d[:, None],
         cur[:, None], visited, ef=ef, lm=2 * m, max_steps=8 * ef + 64,
+        expand=expand,
     )
     return _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k, heaptids)
 
@@ -640,7 +675,8 @@ def _expand_topk_jit(pool_d, pool_i, elem_rows, row_valid, fmask,
 
 def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                       row_valid, fmask, qs, entry, entry_level, ef: int,
-                      m: int, l_unroll: int, k: int, heaptids: int):
+                      m: int, l_unroll: int, k: int, heaptids: int,
+                      expand: int = 1):
     """CPU variant of Algorithm 5 with host-driven loops."""
     nq = qs.shape[0] if not isinstance(qs, tuple) else qs[0].shape[0]
     cap_e = nbr0.shape[0]
