@@ -64,6 +64,18 @@ class FlatIndex:
         qs = _coerce_dense_queries(q, table.dim)
         metric = self.metric
 
+        from ..ops import pallas_topk
+
+        if (pallas_topk.supported(metric, table.dtype)
+                and table.dtype == jnp.float32 and table.count >= 4096
+                and k <= 64):
+            # fused Pallas path: matmul + in-VMEM top-k, DB streamed by the
+            # grid pipeline (no (Q, N) score block in HBM)
+            return pallas_topk.exact_topk(
+                metric, qs, table.data[: table.count], k,
+                valid=table.valid[: table.count],
+            )
+
         def score(tile_data):
             return D.dense_scores(metric, qs, tile_data)
 

@@ -502,7 +502,8 @@ class HNSWIndex:
                 continue
             q_sel = np.flatnonzero(mask_q)
             pd, pi = pools[lc]
-            block = _round_pow2(min(len(q_sel), self.wave_size))
+            # fixed block size → one compiled select shape per lm
+            block = _round_pow2(self.wave_size)
             for start in range(0, len(q_sel), block):
                 chunk = q_sel[start: start + block]
                 pad = block - len(chunk)
@@ -563,7 +564,8 @@ class HNSWIndex:
 
     def _backlink_round(self, entries, level: int, lm: int, smax: int) -> None:
         targets = np.array([t for t, _ in entries], np.int32)
-        block = _round_pow2(min(len(targets), max(self.wave_size, 1)))
+        # fixed block size → one compiled backlink-merge shape per lm
+        block = _round_pow2(max(self.wave_size, 1))
         for start in range(0, len(targets), block):
             t_chunk = targets[start: start + block]
             pad = block - len(t_chunk)
