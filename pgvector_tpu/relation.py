@@ -1,0 +1,125 @@
+"""Relation — the table-with-indexes facade (the SQL experience minus SQL).
+
+Ties together the storage, index AMs, planner, and scans the way Postgres
+does for ``SELECT ... ORDER BY embedding <-> q LIMIT k``:
+
+    rel = Relation(DenseTable(128))
+    rel.insert(vectors)
+    rel.create_index("hnsw", Metric.L2, m=16, ef_construction=64)
+    dists, ids = rel.knn(q, k=10)          # planner picks the access path
+    print(rel.explain(Metric.L2))          # EXPLAIN-style plan line
+
+DML flows through every attached index (aminsert per index); ``delete`` +
+``vacuum`` mirror dead-tuple marking and index cleanup.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .errors import DataException
+from .index.flat import FlatIndex
+from .ops.metric import Metric
+from .planner import choose_path, estimate_cost
+
+
+class Relation:
+    def __init__(self, table):
+        self.table = table
+        self.indexes: List[object] = []
+
+    # ------------------------------------------------------------------- DDL
+    def create_index(self, kind: str, metric: Metric, **opts):
+        """CREATE INDEX ... USING {hnsw | ivfflat} (opclass per metric)."""
+        if kind == "hnsw":
+            from .index.hnsw import HNSWIndex
+
+            idx = HNSWIndex(self.table, metric, **opts)
+        elif kind == "ivfflat":
+            from .index.ivfflat import IVFFlatIndex
+
+            idx = IVFFlatIndex(self.table, metric, **opts)
+        else:
+            raise DataException(f'access method "{kind}" does not exist')
+        self.indexes.append(idx)
+        return idx
+
+    def drop_index(self, idx) -> None:
+        self.indexes.remove(idx)
+
+    # ------------------------------------------------------------------- DML
+    def insert(self, values) -> np.ndarray:
+        rows = self.table.insert(values)
+        for idx in self.indexes:
+            idx.insert(rows)
+        return rows
+
+    def delete(self, rows) -> None:
+        self.table.delete(rows)
+
+    def vacuum(self) -> None:
+        for idx in self.indexes:
+            idx.vacuum()
+
+    # ----------------------------------------------------------------- query
+    def knn(
+        self,
+        q,
+        k: int,
+        metric: Optional[Metric] = None,
+        filter_mask: Optional[np.ndarray] = None,
+        use_index: bool = True,
+        **knobs,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k by the given metric; the planner chooses exact scan vs an
+        index path by estimated cost (``use_index=False`` ≈ SET
+        enable_indexscan = off, the recall-monitoring recipe
+        README.md:762-773)."""
+        metric = metric or self._default_metric()
+        path = choose_path(self.table, self.indexes if use_index else [],
+                           metric, **knobs)
+        if path.index is None:
+            return FlatIndex(self.table, metric).search(q, k)
+        kwargs = {}
+        if filter_mask is not None:
+            kwargs["filter_mask"] = filter_mask
+        from .index.hnsw import HNSWIndex
+
+        if isinstance(path.index, HNSWIndex):
+            if "ef_search" in knobs:
+                kwargs["ef_search"] = knobs["ef_search"]
+        else:
+            if "probes" in knobs:
+                kwargs["probes"] = knobs["probes"]
+        if filter_mask is not None or kwargs:
+            return path.index.search(q, k, **kwargs)
+        return path.index.search(q, k)
+
+    def explain(self, metric: Optional[Metric] = None, **knobs) -> str:
+        """EXPLAIN-style single-line plan with cost estimates."""
+        metric = metric or self._default_metric()
+        lines = []
+        path = choose_path(self.table, self.indexes, metric, **knobs)
+        for idx in [None] + self.indexes:
+            if idx is not None and getattr(idx, "metric", None) is not metric:
+                continue
+            cost = estimate_cost(idx, self.table, metric, **knobs)
+            name = "Seq Scan" if idx is None else (
+                f"Index Scan using {type(idx).__name__.replace('Index','').lower()}"
+            )
+            chosen = " <-- chosen" if (
+                (idx is None) == (path.index is None)
+                and (idx is path.index)
+            ) else ""
+            lines.append(f"{name}  (cost≈{cost:.0f} tuples){chosen}")
+        return "\n".join(lines)
+
+    def _default_metric(self) -> Metric:
+        if self.indexes:
+            return self.indexes[0].metric
+        return Metric.L2
+
+    def __len__(self) -> int:
+        return self.table.live_count
