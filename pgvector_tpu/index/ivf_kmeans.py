@@ -173,10 +173,17 @@ def train_centers(
     if binary:
         init = (init > 0.5).astype(jnp.float32)
     centers, _, _ = _kmeans_device(data, init, k_lloyd, k, spherical, binary)
-    # post-checks (ivfkmeans.c:490-547)
+    # post-checks (ivfkmeans.c:490-547): finite centers, and no zero-norm
+    # centers for the spherical variant
     centers_host = jax.device_get(centers)
     import numpy as np
 
     if np.isnan(centers_host).any() or np.isinf(centers_host).any():
         raise InternalError("k-means produced non-finite centers. Please report a bug.")
+    if spherical:
+        norms = np.linalg.norm(centers_host, axis=1)
+        if (norms == 0).any():
+            raise InternalError(
+                "k-means produced a zero-norm center for a spherical metric. Please report a bug."
+            )
     return centers
