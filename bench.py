@@ -60,7 +60,7 @@ def main():
     from pgvector_tpu.ops.metric import Metric
     from pgvector_tpu.store.table import DenseTable
 
-    n = int(os.environ.get("BENCH_N", 100_000))
+    n = int(os.environ.get("BENCH_N", 50_000))  # bounded so remote-compile overhead + build fit a round
     nq = int(os.environ.get("BENCH_Q", 1000))
     batch = int(os.environ.get("BENCH_BATCH", 250))
     ef_sweep = [int(x) for x in os.environ.get("BENCH_EF", "40,80,120,200").split(",")]
