@@ -41,10 +41,45 @@ from .types import (
     BITVEC_MAX_DIM,
 )
 
+from .ops.metric import Metric
+
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy heavyweight imports so ``import pgvector_tpu`` stays light."""
+    if name == "Relation":
+        from .relation import Relation
+
+        return Relation
+    if name == "FlatIndex":
+        from .index.flat import FlatIndex
+
+        return FlatIndex
+    if name == "HNSWIndex":
+        from .index.hnsw import HNSWIndex
+
+        return HNSWIndex
+    if name == "IVFFlatIndex":
+        from .index.ivfflat import IVFFlatIndex
+
+        return IVFFlatIndex
+    if name in ("DenseTable", "BitTable", "SparseTable"):
+        from . import store
+
+        return getattr(store, name)
+    raise AttributeError(f"module 'pgvector_tpu' has no attribute {name!r}")
 
 __all__ = [
     "config",
+    "Metric",
+    "Relation",
+    "FlatIndex",
+    "HNSWIndex",
+    "IVFFlatIndex",
+    "DenseTable",
+    "BitTable",
+    "SparseTable",
     "Vector",
     "HalfVec",
     "SparseVec",

@@ -55,6 +55,7 @@ def _kernel(qs_ref, db_ref, dbsq_ref, out_d_ref, out_i_ref, best_d, best_i,
         qs_ref[:], db_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # f32-exact like the XLA path
     )  # (Q, T)
     scores = dbsq_ref[:].reshape(1, -1) - 2.0 * ip
     base = t * tile
@@ -65,18 +66,20 @@ def _kernel(qs_ref, db_ref, dbsq_ref, out_d_ref, out_i_ref, best_d, best_i,
     comb_d = jnp.concatenate([best_d[:], scores], axis=1)  # (Q, k+T)
     tile_ids = jax.lax.broadcasted_iota(jnp.int32, (nq, tile), 1) + base
     comb_i = jnp.concatenate([best_i[:], tile_ids], axis=1)
-    new_d = jnp.zeros((nq, k), jnp.float32)
-    new_i = jnp.zeros((nq, k), jnp.int32)
     col = jax.lax.broadcasted_iota(jnp.int32, comb_d.shape, 1)
+    out_ds = []
+    out_is = []
     for j in range(k):
-        m = jnp.min(comb_d, axis=1, keepdims=True)  # (Q, 1)
+        m = jnp.min(comb_d, axis=1)  # (Q,)
         amin = jnp.argmin(comb_d, axis=1)  # (Q,)
-        sel_i = jnp.take_along_axis(comb_i, amin[:, None], axis=1)  # (Q, 1)
-        new_d = new_d.at[:, j].set(m[:, 0])
-        new_i = new_i.at[:, j].set(sel_i[:, 0])
-        comb_d = jnp.where(col == amin[:, None], jnp.inf, comb_d)
-    best_d[:] = new_d
-    best_i[:] = new_i
+        hit = col == amin[:, None]
+        # gather-free select: exactly one hit per row (Mosaic has no gather)
+        sel_i = jnp.sum(jnp.where(hit, comb_i, 0), axis=1)
+        out_ds.append(m)
+        out_is.append(sel_i)
+        comb_d = jnp.where(hit, jnp.inf, comb_d)
+    best_d[:] = jnp.stack(out_ds, axis=1)
+    best_i[:] = jnp.stack(out_is, axis=1)
 
     @pl.when(t == pl.num_programs(0) - 1)
     def _out():
