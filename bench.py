@@ -63,7 +63,7 @@ def main():
     n = int(os.environ.get("BENCH_N", 50_000))  # bounded so remote-compile overhead + build fit a round
     nq = int(os.environ.get("BENCH_Q", 1000))
     batch = int(os.environ.get("BENCH_BATCH", 250))
-    ef_sweep = [int(x) for x in os.environ.get("BENCH_EF", "40,80,120,200").split(",")]
+    ef_sweep = [int(x) for x in os.environ.get("BENCH_EF", "40,100").split(",")]  # 2 ef points = 2 query compiles (remote compiles dominate wall)
     expand = int(os.environ.get("BENCH_EXPAND", 4))
     k = 10
 
