@@ -70,11 +70,16 @@ class FlatIndex:
                 and table.dtype == jnp.float32 and table.count >= 4096
                 and k <= 64):
             # fused Pallas path: matmul + in-VMEM top-k, DB streamed by the
-            # grid pipeline (no (Q, N) score block in HBM)
-            return pallas_topk.exact_topk(
-                metric, qs, table.data[: table.count], k,
-                valid=table.valid[: table.count],
-            )
+            # grid pipeline (no (Q, N) score block in HBM).  Fail-safe: any
+            # compile/runtime error falls back to the XLA scan (the remote
+            # Mosaic compile service can be flaky).
+            try:
+                return pallas_topk.exact_topk(
+                    metric, qs, table.data[: table.count], k,
+                    valid=table.valid[: table.count],
+                )
+            except Exception:
+                pass
 
         def score(tile_data):
             return D.dense_scores(metric, qs, tile_data)
