@@ -10,8 +10,7 @@ across a mesh (pgvector_tpu.parallel).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

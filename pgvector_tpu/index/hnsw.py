@@ -51,7 +51,6 @@ from ..config import config
 from ..errors import DataException, FeatureNotSupported, InternalError
 from ..ops import distance as D
 from ..ops.metric import Metric
-from ..ops.topk import topk_smallest
 from ..store.table import BitTable, DenseTable, SparseTable
 from ..utils.telemetry import Progress, timers
 from . import hnsw_kernels as K

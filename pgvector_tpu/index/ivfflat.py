@@ -30,7 +30,6 @@ Vacuum drops dead ids from postings and never retrains centers
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -268,7 +267,6 @@ class IVFFlatIndex:
             self.assignments = grown
         post = np.asarray(self.postings)
         cap = post.shape[1]
-        need = int(np.max(self.list_lens[a[a >= 0]] + 1)) if (a >= 0).any() else 0
         # count final per-list fill to size capacity
         extra = np.bincount(a[a >= 0], minlength=self.lists)
         if (self.list_lens + extra).max() > cap:

@@ -12,7 +12,6 @@ partial top-k → concat over ICI → final top-k; SURVEY.md §2.4.6).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax

@@ -13,7 +13,8 @@ from pgvector_tpu.runtime import BatchingExecutor
 from pgvector_tpu.store.table import DenseTable
 
 
-def test_concurrent_submits(rng):
+def test_concurrent_submits():
+    rng = np.random.default_rng(123)  # hermetic: session rng state varies with test order
     db = rng.normal(size=(500, 8)).astype(np.float32)
     table = DenseTable(8)
     table.insert(db)
