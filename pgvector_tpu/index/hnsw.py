@@ -494,6 +494,7 @@ class HNSWIndex:
             self.entry_level = wave_max
 
     def _connect_from_pools(self, elems: np.ndarray, lv: np.ndarray, pools) -> None:
+        e_dev = jnp.asarray(elems.astype(np.int32))
         for lc in sorted(pools.keys(), reverse=True):
             lm = 2 * self.m if lc == 0 else self.m
             mask_q = lv >= lc
@@ -501,6 +502,16 @@ class HNSWIndex:
                 continue
             q_sel = np.flatnonzero(mask_q)
             pd, pi = pools[lc]
+            # intra-wave candidates: wave members are invisible to each
+            # other's frozen-graph searches; fold the nearest wave-mates at
+            # this level into the pools (sequential-insert information flow)
+            if len(elems) > 1:
+                intra_d, intra_i = K.intra_wave_candidates(
+                    self.kind, self.metric, self.values, e_dev,
+                    jnp.asarray(lv >= lc), min(self.m, len(elems)),
+                )
+                pd = jnp.concatenate([pd, intra_d], axis=1)
+                pi = jnp.concatenate([pi, intra_i], axis=1)
             # fixed block size → one compiled select shape per lm
             block = _round_pow2(self.wave_size)
             for start in range(0, len(q_sel), block):

@@ -488,24 +488,65 @@ def select_connections(kind, metric, values, base_elems, pool_d, pool_i, lm: int
 
 @functools.partial(jax.jit, static_argnames=("kind", "metric", "lm"))
 def merge_backlinks(kind, metric, values, old_lists, new_src, targets, lm: int):
-    """HnswUpdateConnection batched by target: select lm among old ∪ new
-    (hnswutils.c:1181-1229).  Returns (T, lm) new neighbor lists."""
+    """HnswUpdateConnection batched by target (hnswutils.c:1181-1229),
+    with the reference's *incremental* semantics: each new source is folded
+    one at a time — appended while the list has room, else SelectNeighbors
+    over the lm+1 candidates evicts exactly ONE element.  Wholesale
+    re-selection would re-rank the whole list by distance every wave and
+    collapse inner-product graphs onto high-norm hubs (losing the
+    accumulated diversity that keeps MIPS graphs connected).
+
+    Returns (T, lm) updated neighbor lists.  The per-source loop unrolls
+    over new_src's (static) width."""
     score = make_scorer(kind, metric, values)
-    cand = jnp.concatenate([old_lists, new_src], axis=1)
-    # mark later duplicates invalid (old may already contain a new src)
-    c = cand.shape[1]
-    eq = cand[:, :, None] == cand[:, None, :]
-    idx = jnp.arange(c)
-    earlier = idx[None, :, None] > idx[None, None, :]
-    dup = jnp.any(eq & earlier & (cand[:, :, None] >= 0), axis=2)
-    cand = jnp.where(dup, -1, cand)
     t_rep = elems_as_queries(kind, values, targets)
-    base_d = score(t_rep, cand)
-    base_d = jnp.where(targets[:, None] >= 0, base_d, jnp.inf)
-    pair = _pairwise_dists(kind, metric, values, cand)
-    pos = select_neighbors_batch(base_d, pair, cand >= 0, lm)
-    sel = jnp.take_along_axis(cand, jnp.maximum(pos, 0), axis=1)
-    return jnp.where(pos >= 0, sel, -1)
+    t = old_lists.shape[0]
+    rows = jnp.arange(t, dtype=jnp.int32)
+    cur = old_lists
+    for j in range(new_src.shape[1]):
+        s = new_src[:, j]  # (T,)
+        skip = (s < 0) | (targets < 0) | jnp.any(cur == s[:, None], axis=1)
+        n_valid = jnp.sum((cur >= 0).astype(jnp.int32), axis=1)
+        # append path: put s into the first free slot
+        has_free = n_valid < lm
+        first_free = jnp.argmax(cur < 0, axis=1)
+        appended = cur.at[rows, first_free].set(
+            jnp.where(has_free & ~skip, s, cur[rows, first_free])
+        )
+        # prune path: select lm of the lm+1 candidates (one eviction)
+        cand = jnp.concatenate([cur, s[:, None]], axis=1)  # (T, lm+1)
+        base_d = score(t_rep, cand)
+        base_d = jnp.where(targets[:, None] >= 0, base_d, jnp.inf)
+        pair = _pairwise_dists(kind, metric, values, cand)
+        pos = select_neighbors_batch(base_d, pair, cand >= 0, lm)
+        sel = jnp.take_along_axis(cand, jnp.maximum(pos, 0), axis=1)
+        pruned_list = jnp.where(pos >= 0, sel, -1)
+        cur = jnp.where(
+            skip[:, None], cur,
+            jnp.where(has_free[:, None], appended, pruned_list),
+        )
+    return cur
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "metric", "mi"))
+def intra_wave_candidates(kind, metric, values, elems, eligible, mi: int):
+    """Top-mi nearest *wave-mates* per wave member — one (B, B) distance
+    block.  Members of a wave search the frozen graph and never see each
+    other (hnswbuild's sequential inserts do); folding the nearest
+    wave-mates into each member's candidate pool restores those edges.
+    Without this, inner-product graphs lose the chain structure that keeps
+    them connected (large waves → hub-only lists → unreachable answers).
+
+    ``eligible`` masks members that exist at the level being connected.
+    Returns (dists (B, mi), elem ids (B, mi))."""
+    d = _pairwise_dists(kind, metric, values, elems[None, :])[0]  # (B, B)
+    b = d.shape[0]
+    eye = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0) == \
+        jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    d = jnp.where(eye | ~eligible[None, :], jnp.inf, d)
+    neg, pos = jax.lax.top_k(-d, mi)
+    ids = jnp.where(jnp.isinf(-neg), -1, elems[pos])
+    return jnp.where(ids >= 0, -neg, jnp.inf), ids
 
 
 # ---------------------------------------------------------------------------
