@@ -611,6 +611,14 @@ class HNSWIndex:
         ef = int(ef_search if ef_search is not None else config.get("hnsw.ef_search"))
         iterative = config.get("hnsw.iterative_scan") != "off"
         max_tuples = int(config.get("hnsw.max_scan_tuples"))
+        # memory cap: iterative scans stop growing when the per-query scan
+        # state would exceed work_mem × scan_mem_multiplier
+        # (hnswscan.c:149-156, 255-266).  State ≈ ef pool slots × (vector +
+        # pool + visited bookkeeping).
+        bytes_per_slot = 4 * (self.table.dim if self.kind != "sparse"
+                              else 2 * self.table.nnz_cap) + 64
+        mem_budget = config.get("work_mem") * config.get("hnsw.scan_mem_multiplier")
+        mem_cap_ef = max(int(mem_budget // max(bytes_per_slot, 1)), 1)
         qs, nq = self._query_rep(q)
 
         if self.entry < 0:
@@ -623,9 +631,10 @@ class HNSWIndex:
             if not iterative:
                 break
             found = int(np.min(np.sum(np.isfinite(np.asarray(d)), axis=1)))
-            if found >= min(k, ef_eff) or ef_eff >= max_tuples:
+            cap = min(max_tuples, mem_cap_ef)
+            if found >= min(k, ef_eff) or ef_eff >= cap:
                 break
-            ef_eff = min(ef_eff * 2, max_tuples)
+            ef_eff = min(ef_eff * 2, cap)
         return np.asarray(d), np.asarray(r)
 
     def _search_once(self, qs, nq: int, k: int, ef: int, fmask):
