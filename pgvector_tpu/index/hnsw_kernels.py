@@ -431,6 +431,7 @@ def _pairwise_dists(kind: str, metric: Metric, values, elems):
         ip = jax.lax.dot_general(
             v, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # f32-exact like the scorers
         )  # (T, C, C)
         if metric is Metric.L2:
             sq = jnp.sum(v * v, axis=-1)
