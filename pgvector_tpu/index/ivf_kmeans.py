@@ -40,6 +40,7 @@ def _assign(data: jnp.ndarray, centers: jnp.ndarray, spherical: bool) -> jnp.nda
         data, centers,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # TPU default bf16 scrambles near-tie assignments
     )
     if spherical:
         return jnp.argmax(ip, axis=1).astype(jnp.int32)
@@ -103,7 +104,8 @@ def _kmeanspp_init(data: jnp.ndarray, key: jnp.ndarray, k: int, spherical: bool)
 
     def dist_to(c):
         if spherical:
-            ip = data @ c
+            ip = jnp.einsum("sd,d->s", data, c,
+                            precision=jax.lax.Precision.HIGHEST)
             # angular distance ∝ acos(ip); use (1 - ip) which is monotone
             return jnp.maximum(1.0 - ip, 0.0)
         d = data - c[None, :]

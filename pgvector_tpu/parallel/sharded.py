@@ -114,6 +114,7 @@ def sharded_kmeans_step(
             data_s, centers_rep,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         c_sq = jnp.sum(centers_rep * centers_rep, axis=1)
         assign = jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=1)
