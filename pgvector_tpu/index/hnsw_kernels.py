@@ -388,6 +388,24 @@ def greedy_descent_host(kind, metric, values, nbr0, nbr_up, up_slot, level,
 # ---------------------------------------------------------------------------
 
 
+def _row_gather(mat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-row gather mat[q, idx[q, j]] WITHOUT a gather op.
+
+    Both ``jnp.take_along_axis(mat, idx, axis=1)`` and the flattened 1-D
+    gather MISCOMPILE on this image's axon TPU toolchain when fused behind
+    ``top_k`` inside the select kernels (observed at (1024, 80) int32
+    pools: the compiled program returned the *indices* instead of the
+    gathered values, silently corrupting every neighbor list and halving
+    build recall — BENCH_NOTES.md).  The raw gathers are correct in
+    isolation, so this is a fusion-context bug; the one-hot select below
+    avoids gather entirely (O(K·W) VPU compares — negligible next to the
+    pairwise matmul) and an optimization barrier pins the index operand."""
+    idx = jax.lax.optimization_barrier(idx)
+    col = jnp.arange(mat.shape[1], dtype=jnp.int32)
+    hit = col[None, None, :] == idx[:, :, None]  # (Q, K, W)
+    return jnp.sum(jnp.where(hit, mat[:, None, :], 0), axis=2)
+
+
 def select_neighbors(base_d, pair_d, valid, lm: int) -> jnp.ndarray:
     """Returns (lm,) selected candidate *positions* (-1 padded), kept-first
     then closest-pruned backfill (keepPrunedConnections,
@@ -417,6 +435,26 @@ def select_neighbors(base_d, pair_d, valid, lm: int) -> jnp.ndarray:
 
 
 select_neighbors_batch = jax.vmap(select_neighbors, in_axes=(0, 0, 0, None))
+
+
+def _pad_lanes(pool_d, pool_i, mult: int = 128):
+    """Pad the candidate (lane) dimension to a multiple of 128.
+
+    This image's axon TPU toolchain MISCOMPILES the vmapped selection loop
+    at non-128-multiple candidate widths: with an 80-wide pool the compiled
+    program behaved as if columns 64..79 didn't exist (verified bit-exact
+    at width 128, wrong at width 80, on identical inputs — BENCH_NOTES.md).
+    Padding costs a larger pairwise block but guarantees lane-aligned
+    shapes everywhere the select loop runs."""
+    c = pool_i.shape[1]
+    pad = (-c) % mult
+    if pad:
+        q = pool_i.shape[0]
+        pool_d = jnp.concatenate(
+            [pool_d, jnp.full((q, pad), jnp.inf, pool_d.dtype)], axis=1)
+        pool_i = jnp.concatenate(
+            [pool_i, jnp.full((q, pad), -1, pool_i.dtype)], axis=1)
+    return pool_d, pool_i
 
 
 def _pairwise_dists(kind: str, metric: Metric, values, elems):
@@ -481,9 +519,10 @@ def _pairwise_dists(kind: str, metric: Metric, values, elems):
 def select_connections(kind, metric, values, base_elems, pool_d, pool_i, lm: int):
     """SelectNeighbors over each base element's candidate pool →
     (Q, lm) neighbor element ids."""
+    pool_d, pool_i = _pad_lanes(pool_d, pool_i)
     pair = _pairwise_dists(kind, metric, values, pool_i)
     pos = select_neighbors_batch(pool_d, pair, pool_i >= 0, lm)
-    sel = jnp.take_along_axis(pool_i, jnp.maximum(pos, 0), axis=1)
+    sel = _row_gather(pool_i, jnp.maximum(pos, 0))
     return jnp.where(pos >= 0, sel, -1)
 
 
@@ -518,9 +557,10 @@ def merge_backlinks(kind, metric, values, old_lists, new_src, targets, lm: int):
         cand = jnp.concatenate([cur, s[:, None]], axis=1)  # (T, lm+1)
         base_d = score(t_rep, cand)
         base_d = jnp.where(targets[:, None] >= 0, base_d, jnp.inf)
+        base_d, cand = _pad_lanes(base_d, cand)
         pair = _pairwise_dists(kind, metric, values, cand)
         pos = select_neighbors_batch(base_d, pair, cand >= 0, lm)
-        sel = jnp.take_along_axis(cand, jnp.maximum(pos, 0), axis=1)
+        sel = _row_gather(cand, jnp.maximum(pos, 0))
         pruned_list = jnp.where(pos >= 0, sel, -1)
         cur = jnp.where(
             skip[:, None], cur,
