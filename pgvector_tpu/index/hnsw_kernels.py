@@ -445,7 +445,10 @@ def _pad_lanes(pool_d, pool_i, mult: int = 128):
     program behaved as if columns 64..79 didn't exist (verified bit-exact
     at width 128, wrong at width 80, on identical inputs — BENCH_NOTES.md).
     Padding costs a larger pairwise block but guarantees lane-aligned
-    shapes everywhere the select loop runs."""
+    shapes everywhere the select loop runs.  CPU lowering is correct at any
+    width, so the pad only applies on TPU backends."""
+    if jax.default_backend() != "tpu":
+        return pool_d, pool_i
     c = pool_i.shape[1]
     pad = (-c) % mult
     if pad:
