@@ -36,10 +36,13 @@ PG_BASELINE_QPS = 1000.0  # assumed pgvector single-core QPS at recall≈0.95
 
 
 def make_data(n, nq, dim=128, seed=0):
-    """Clustered surrogate for SIFT: 1024 centers, gaussian clusters."""
+    """Clustered surrogate for SIFT: gaussian mixture with overlapping
+    clusters (center scale 1.5 ≈ SIFT-like difficulty: nearest neighbors
+    cross cluster boundaries, so recall@10 actually sweeps with ef instead
+    of saturating at 1.0)."""
     rng = np.random.default_rng(seed)
     n_centers = 1024
-    centers = rng.normal(size=(n_centers, dim)).astype(np.float32) * 4.0
+    centers = rng.normal(size=(n_centers, dim)).astype(np.float32) * 1.5
     assign = rng.integers(0, n_centers, size=n)
     db = centers[assign] + rng.normal(size=(n, dim)).astype(np.float32)
     qa = rng.integers(0, n_centers, size=nq)
