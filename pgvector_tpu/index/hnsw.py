@@ -91,6 +91,7 @@ class HNSWIndex:
         build: bool = True,
         wave_size: int = 1024,
         beam_expand: int = 1,
+        backlink_mode: str = "wholesale",
         dedup: bool = True,
         notice_hook=None,
         progress=None,
@@ -113,6 +114,11 @@ class HNSWIndex:
         #: candidates expanded per beam hop (1 = exact Algorithm 2 order;
         #: >1 = fewer sequential hops at the same ef bound)
         self.beam_expand = beam_expand
+        #: "wholesale" = one SelectNeighbors over old ∪ new per target per
+        #: wave (fast; recall-equivalent with intra-wave candidates);
+        #: "incremental" = the reference's per-source one-eviction fold
+        #: (hnswutils.c:1181-1229)
+        self.backlink_mode = backlink_mode
         self.dedup = dedup
         self.notice_hook = notice_hook or (lambda msg: None)
         self.progress = progress or Progress()
@@ -585,7 +591,9 @@ class HNSWIndex:
             t_full = np.concatenate([t_chunk, np.full(pad, -1, np.int32)])
             t_dev = jnp.asarray(t_full)
             old = self._neighbors_of_level(t_dev, level)  # (T, lm)
-            new_lists = K.merge_backlinks(
+            merge = (K.merge_backlinks if self.backlink_mode == "incremental"
+                     else K.merge_backlinks_wholesale)
+            new_lists = merge(
                 self.kind, self.metric, self.values, old, jnp.asarray(new_src),
                 t_dev, lm,
             )
