@@ -368,15 +368,13 @@ class HNSWIndex:
         self._dirty = True
         self._write_values(elems, values)
 
-        # wave schedule: geometric warm-up so early elements interconnect
+        # wave schedule: full-size waves from the start — intra-wave
+        # candidates interconnect each wave internally, so the geometric
+        # warm-up the frozen-graph formulation needed is redundant (and
+        # with fixed-shape padding each warm-up wave cost a full wave)
         order = np.arange(len(elems))
-        waves = []
-        pos, w = 0, 1
-        while pos < len(order):
-            step = min(w, self.wave_size, len(order) - pos)
-            waves.append(order[pos: pos + step])
-            pos += step
-            w *= 2
+        waves = [order[p: p + self.wave_size]
+                 for p in range(0, len(order), self.wave_size)]
         for wave in waves:
             with timers.phase("hnsw.wave"):
                 self._insert_wave(np.asarray(elems)[wave], lv[wave])
