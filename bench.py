@@ -17,7 +17,7 @@ single-process pgvector 0.8.6 HNSW figure for this workload shape
 (m=16, ef_search tuned to the same recall; the reference repo itself
 publishes no numbers, SURVEY.md §6).  The BASELINE.json target is ≥10×.
 
-Environment knobs: BENCH_N (default 100000), BENCH_Q (1000),
+Environment knobs: BENCH_N (default 50000), BENCH_Q (1000),
 BENCH_BATCH (250), BENCH_EF (sweep list).
 """
 

@@ -97,6 +97,16 @@ class Config:
                     return frame[name]
         return self._global.get(name, knob.default)
 
+    def validate(self, name: str, value: Any) -> Any:
+        """Range/enum-check an explicit value against a knob's bounds
+        without setting it — used when callers pass knob values as direct
+        arguments (e.g. ``search(..., ef_search=...)``), which must honor
+        the same GUC ranges as SET (src/hnsw.c:93-109)."""
+        knob = self._knobs.get(name)
+        if knob is None:
+            raise InvalidParameterValue(f'unrecognized configuration parameter "{name}"')
+        return self._check(knob, value)
+
     def reset(self, name: Optional[str] = None) -> None:
         if name is None:
             self._global.clear()

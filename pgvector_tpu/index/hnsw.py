@@ -614,7 +614,11 @@ class HNSWIndex:
         """Algorithm 5 scan (hnswscan.c).  Returns (operator distances,
         row ids), -1/inf padded.  Without iterative scans the result count
         is capped at ef_search (README.md:933-935)."""
-        ef = int(ef_search if ef_search is not None else config.get("hnsw.ef_search"))
+        ef = int(
+            config.validate("hnsw.ef_search", ef_search)
+            if ef_search is not None
+            else config.get("hnsw.ef_search")
+        )
         iterative = config.get("hnsw.iterative_scan") != "off"
         max_tuples = int(config.get("hnsw.max_scan_tuples"))
         # memory cap: iterative scans stop growing when the per-query scan

@@ -334,7 +334,11 @@ class IVFFlatIndex:
         """
         if self.postings is None:
             raise DataException("index has not been built")
-        probes = int(probes if probes is not None else config.get("ivfflat.probes"))
+        probes = int(
+            config.validate("ivfflat.probes", probes)
+            if probes is not None
+            else config.get("ivfflat.probes")
+        )
         iterative = config.get("ivfflat.iterative_scan") != "off"
         max_probes = (
             max(int(config.get("ivfflat.max_probes")), probes)
