@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,7 +42,7 @@ from ..config import config
 from ..errors import DataException, FeatureNotSupported
 from ..ops import distance as D
 from ..ops.metric import Metric
-from ..ops.topk import merge_topk, topk_smallest
+from ..ops.topk import merge_topk
 from ..store.table import BitTable, DenseTable
 from ..utils.telemetry import Progress, timers
 from .ivf_kmeans import train_centers
@@ -70,7 +72,12 @@ class IVFFlatIndex:
         build: bool = True,
         notice_hook=None,
         progress=None,
+        mesh=None,
     ):
+        #: optional jax.sharding.Mesh: k-means trains data-parallel over it
+        #: (sample-sharded Lloyd steps with psum'd center stats — the
+        #: reference's parallel k-means phase, ivfbuild.c:829-966)
+        self.mesh = mesh
         if not MIN_LISTS <= lists <= MAX_LISTS:
             raise DataException(
                 f'value {lists} out of bounds for option "lists"'
@@ -183,14 +190,28 @@ class IVFFlatIndex:
             if not keep.all():
                 samples = samples[jnp.asarray(np.flatnonzero(keep))]
             with timers.phase("ivfflat.kmeans"):
-                centers = train_centers(
-                    samples,
-                    self.lists,
-                    spherical=self._spherical,
-                    binary=self._is_bit,
-                    normalize_data=self._normalized,
-                    seed=self.seed,
-                )
+                if self.mesh is not None and np.prod(
+                        list(self.mesh.shape.values())) > 1:
+                    from ..parallel.sharded import train_centers_sharded
+
+                    s = samples
+                    if self._normalized:
+                        nrm = jnp.sqrt(jnp.sum(s * s, axis=1, keepdims=True))
+                        s = s / jnp.maximum(nrm, 1e-30)
+                    centers = train_centers_sharded(
+                        self.mesh, s, self.lists,
+                        spherical=self._spherical, binary=self._is_bit,
+                        seed=self.seed,
+                    )
+                else:
+                    centers = train_centers(
+                        samples,
+                        self.lists,
+                        spherical=self._spherical,
+                        binary=self._is_bit,
+                        normalize_data=self._normalized,
+                        seed=self.seed,
+                    )
         self.centroids_f32 = centers
         if self._is_bit:
             self.centroids = D.pack_bits(centers > 0.5)
@@ -235,18 +256,25 @@ class IVFFlatIndex:
         return jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=1).astype(jnp.int32)
 
     def _load_postings(self, assignments: np.ndarray) -> None:
-        counts = np.bincount(
-            assignments[assignments >= 0], minlength=self.lists
-        )
-        cap = max(8, _next_pow2(int(counts.max()) if counts.size else 1))
+        """Scatter row ids into the posting matrix — the device-side
+        equivalent of the reference's sort-by-list-id load (the parallel
+        tuplesort of ivfbuild.c:1017-1035 becomes one stable argsort +
+        one vectorized scatter; no per-row host loop)."""
+        rows = np.flatnonzero(assignments >= 0)
+        a = assignments[rows].astype(np.int64)
+        counts = np.bincount(a, minlength=self.lists) if len(rows) else \
+            np.zeros(self.lists, np.int64)
+        cap = max(8, _next_pow2(int(counts.max()) if len(rows) else 1))
         postings = np.full((self.lists, cap), -1, np.int32)
-        fill = np.zeros(self.lists, np.int64)
-        for row in np.flatnonzero(assignments >= 0):
-            lst = assignments[row]
-            postings[lst, fill[lst]] = row
-            fill[lst] += 1
+        if len(rows):
+            order = np.argsort(a, kind="stable")
+            sr, sa = rows[order], a[order]
+            starts = np.zeros(self.lists, np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            pos = np.arange(len(sr)) - starts[sa]
+            postings[sa, pos] = sr
         self.postings = jnp.asarray(postings)
-        self.list_lens = fill.astype(np.int64)
+        self.list_lens = counts.astype(np.int64)
         self.assignments = assignments
         self.indexed_mask = assignments >= 0
 
@@ -274,11 +302,19 @@ class IVFFlatIndex:
             post = np.concatenate(
                 [post, np.full((self.lists, new_cap - cap), -1, np.int32)], axis=1
             )
-        for row, lst in zip(rows, a):
-            self.assignments[row] = lst
-            if lst >= 0:
-                post[lst, self.list_lens[lst]] = row
-                self.list_lens[lst] += 1
+        self.assignments[rows] = a
+        live = a >= 0
+        ins_rows, ins_a = rows[live], a[live].astype(np.int64)
+        if len(ins_rows):
+            # vectorized append: slot = current fill + within-batch rank
+            order = np.argsort(ins_a, kind="stable")
+            sr, sa = ins_rows[order], ins_a[order]
+            batch_counts = np.bincount(sa, minlength=self.lists)
+            starts = np.zeros(self.lists, np.int64)
+            starts[1:] = np.cumsum(batch_counts)[:-1]
+            pos = self.list_lens[sa] + (np.arange(len(sr)) - starts[sa])
+            post[sa, pos] = sr
+            self.list_lens = self.list_lens + batch_counts
         self.postings = jnp.asarray(post)
         self.indexed_mask = self.assignments >= 0
 
@@ -398,42 +434,90 @@ class IVFFlatIndex:
 
     def _probe_batch(self, qs, order, off, batch, k, valid, fmask):
         """GetScanItems for one probe window — gather candidate rows of the
-        selected lists, exact distances, per-query top-k (ivfscan.c:123-187)."""
+        selected lists, exact distances, per-query top-k (ivfscan.c:123-187).
+        One batched gather + (Q, C) score block per candidate chunk (chunked
+        so the gathered block stays ≤ ~256 MB), running top-k merge."""
         t = self.table
         sel = jax.lax.dynamic_slice(
             order, (0, off), (order.shape[0], batch)
         )  # (Q, batch)
         cand = self.postings[sel].reshape(qs.shape[0], -1)  # (Q, C)
-        data = t.data
-        metric = self.metric
-        is_bit = self._is_bit
-        normalized = self._normalized
+        nq, c = cand.shape
+        width = t.words if self._is_bit else t.dim
+        cc = max(128, (1 << 26) // max(nq * width, 1))
+        n_chunks = max(1, -(-c // cc))
+        cc = -(-c // n_chunks)
+        if n_chunks * cc != c:
+            cand = jnp.concatenate(
+                [cand, jnp.full((nq, n_chunks * cc - c), -1, cand.dtype)], axis=1
+            )
+        if fmask is None:
+            fmask = jnp.ones(t.capacity, jnp.bool_)
+        qrep = D.pack_bits(qs > 0.5) if self._is_bit else qs
+        return _probe_topk(
+            self.metric, self._is_bit, self._normalized, t.data, qrep, cand,
+            valid, fmask, k, n_chunks,
+        )
 
-        def per_query(args):
-            qv, cand_q = args
-            safe = jnp.maximum(cand_q, 0)
-            ok = (cand_q >= 0) & valid[safe]
-            if fmask is not None:
-                ok = ok & fmask[safe]
-            vec = data[safe]
-            if is_bit:
-                qw = D.pack_bits(qv[None, :] > 0.5)
-                s = D.bit_scores(metric, qw, vec)[0]
-            elif normalized:
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "is_bit", "normalized", "k", "n_chunks")
+)
+def _probe_topk(metric, is_bit, normalized, data, qs, cand, valid, fmask,
+                k: int, n_chunks: int):
+    """(Q, C) candidate row ids → smallest-k (distances, row ids).
+
+    Scans C in ``n_chunks`` chunks: each step gathers the chunk's vectors,
+    scores the whole (Q, Cc) block (batched dot_general for dense metrics —
+    MXU work — or popcount lanes for bit), and merges into a running top-k.
+    ``qs`` is the pre-formed query rep: f32 (normalized for cosine) for
+    dense tables, packed uint32 words for bit tables."""
+    nq, c = cand.shape
+    cc = c // n_chunks
+    chunks = cand.reshape(nq, n_chunks, cc).transpose(1, 0, 2)  # (S, Q, Cc)
+
+    def step(carry, cand_c):
+        best_d, best_i = carry
+        safe = jnp.maximum(cand_c, 0)
+        ok = (cand_c >= 0) & valid[safe] & fmask[safe]
+        if is_bit:
+            w = data[safe]  # (Q, Cc, W)
+            s = jnp.sum(
+                jax.lax.population_count(
+                    jnp.bitwise_xor(qs[:, None, :], w)
+                ).astype(jnp.int32),
+                axis=-1,
+            ).astype(jnp.float32)
+        else:
+            v = data[safe].astype(jnp.float32)  # (Q, Cc, D)
+            if normalized:
                 # cosine opclasses index *normalized* values and order by
                 # -ip (sql/vector.sql:437-441); the table holds raw vectors,
                 # so normalize candidates on the fly (cheap vs. the gather)
-                vf = vec.astype(jnp.float32)
-                norms = jnp.sqrt(jnp.sum(vf * vf, axis=-1, keepdims=True))
-                vf = vf / jnp.maximum(norms, 1e-30)
-                s = D.dense_scores(Metric.IP, qv[None, :], vf)[0]
-            else:
-                s = D.dense_scores(metric, qv[None, :], vec)[0]
-            s = jnp.where(ok, s, jnp.inf)
-            return topk_smallest(s[None, :], k, ids=cand_q[None, :])
+                nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+                v = v / jnp.maximum(nrm, 1e-30)
+            ip = jax.lax.dot_general(
+                qs, v,
+                dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=D.dot_precision(),
+            )  # (Q, Cc)
+            if metric is Metric.L2:
+                vsq = jnp.sum(v * v, axis=-1)
+                qsq = jnp.sum(qs * qs, axis=-1)[:, None]
+                s = jnp.maximum(qsq - 2.0 * ip + vsq, 0.0)
+            else:  # IP / normalized cosine order by -ip
+                s = -ip
+        s = jnp.where(ok, s, jnp.inf)
+        d, i = merge_topk(best_d, best_i, s, cand_c, k)
+        return (d, jnp.where(jnp.isinf(d), -1, i)), None
 
-        d, i = jax.lax.map(per_query, (qs, cand))
-        return d[:, 0], i[:, 0]
+    init = (
+        jnp.full((nq, k), jnp.inf, jnp.float32),
+        jnp.full((nq, k), -1, cand.dtype),
+    )
+    (d, i), _ = jax.lax.scan(step, init, chunks)
+    return d, i
 
 
 def _next_pow2(n: int) -> int:
