@@ -123,6 +123,8 @@ class HNSWIndex:
         self.notice_hook = notice_hook or (lambda msg: None)
         self.progress = progress or Progress()
         self.ml = 1.0 / math.log(m)  # hnsw.h:130
+        self._mem_notice_fired = False
+        self._wave_eff = wave_size  # wave size after the memory budget
 
         if isinstance(table, DenseTable):
             self.kind = "dense"
@@ -349,36 +351,92 @@ class HNSWIndex:
         sel = jnp.asarray(np.asarray(new_val_pos, np.int64))
         values = jax.tree.map(lambda a: a[sel], values)
 
-        # allocate element slots + levels
-        elems = self._alloc_slots(len(new_rows))
+        # allocate element slots + levels (vectorized bookkeeping; the only
+        # remaining per-element loop is the multi-TID fill for duplicates)
+        elems = np.asarray(self._alloc_slots(len(new_rows)), np.int64)
         lv = np.minimum(
             np.floor(-np.log(self._rng.random(len(new_rows))) * self.ml).astype(np.int32),
             self._l_unroll,
         )
-        for j, e in enumerate(elems):
-            self.levels[e] = lv[j]
-            self.elem_rows[e, :] = -1
-            for t, row in enumerate(new_rows[j]):
-                self.elem_rows[e, t] = row
-                self.row_to_elem[row] = e
-            if new_keys[j] is not None:
-                self._dup_index[new_keys[j]] = e
-            if lv[j] >= 1 and self.up_slot[e] < 0:
-                self.up_slot[e] = self._alloc_upper()
+        self.levels[elems] = lv
+        self.elem_rows[elems, :] = -1
+        lens = np.fromiter((len(g) for g in new_rows), np.int64, len(new_rows))
+        if int(lens.max()) == 1:
+            rows_flat = np.fromiter((g[0] for g in new_rows), np.int64, len(new_rows))
+            self.elem_rows[elems, 0] = rows_flat
+            self.row_to_elem.update(zip(rows_flat.tolist(), elems.tolist()))
+        else:
+            for j, e in enumerate(elems):
+                for t, row in enumerate(new_rows[j]):
+                    self.elem_rows[e, t] = row
+                    self.row_to_elem[row] = int(e)
+        if self.dedup:
+            for j, key in enumerate(new_keys):
+                self._dup_index[key] = int(elems[j])
+        need_up = (lv >= 1) & (self.up_slot[elems] < 0)
+        if need_up.any():
+            self.up_slot[elems[need_up]] = self._alloc_upper_bulk(int(need_up.sum()))
         self._dirty = True
         self._write_values(elems, values)
 
         # wave schedule: full-size waves from the start — intra-wave
         # candidates interconnect each wave internally, so the geometric
         # warm-up the frozen-graph formulation needed is redundant (and
-        # with fixed-shape padding each warm-up wave cost a full wave)
+        # with fixed-shape padding each warm-up wave cost a full wave).
+        # Wave size degrades to fit maintenance_work_mem (the reference's
+        # memory-cliff behavior, hnswbuild.c:530-549: NOTICE + keep going
+        # slower, instead of failing).
+        wave_size = self._effective_wave_size()
         order = np.arange(len(elems))
-        waves = [order[p: p + self.wave_size]
-                 for p in range(0, len(order), self.wave_size)]
+        waves = [order[p: p + wave_size]
+                 for p in range(0, len(order), wave_size)]
         for wave in waves:
             with timers.phase("hnsw.wave"):
                 self._insert_wave(np.asarray(elems)[wave], lv[wave])
             self.progress.advance(len(wave))
+
+    def _wave_bytes(self, b: int) -> int:
+        """Transient device bytes one insert wave of ``b`` elements needs:
+        visited hash tables, beam pools, the lane-padded pairwise select
+        block, and per-level output pools.  This is the TPU analogue of the
+        reference's in-memory graph accounting (hnswAllocSize users,
+        hnswbuild.c:530-549) — the persistent graph lives in HBM regardless;
+        the budget governs the build's working set."""
+        ef = self.ef_construction
+        h = K.visited_capacity(ef)
+        c = ef + min(self.m, b)  # beam pool + intra-wave candidates
+        c = ((c + 127) // 128) * 128  # TPU lane padding (K._pad_lanes)
+        if self.kind == "dense":
+            rep = 4 * self.table.dim
+        elif self.kind == "bit":
+            rep = 4 * self.table.words
+        else:
+            rep = 8 * self.table.nnz_cap
+        per_q = (
+            4 * h                      # visited table
+            + 4 * c * c                # pairwise select block
+            + (ef + c) * (rep + 9)     # pool vectors + dists + ids + flags
+            + (self._l_unroll + 1) * ef * 8  # stacked per-level out pools
+        )
+        return b * per_q
+
+    def _effective_wave_size(self) -> int:
+        """Shrink the wave until its working set fits maintenance_work_mem;
+        NOTICE once per index when degraded (hnswbuild.c:538-543)."""
+        budget = int(config.get("maintenance_work_mem"))
+        wave = self.wave_size
+        while wave > 8 and self._wave_bytes(wave) > budget:
+            wave //= 2
+        self._wave_eff = wave
+        if wave < self.wave_size and not self._mem_notice_fired:
+            self._mem_notice_fired = True
+            self.notice_hook(
+                "hnsw build wave no longer fits into maintenance_work_mem\n"
+                f"DETAIL:  Reduced insert wave size from {self.wave_size} to "
+                f"{wave}. Building will take significantly more time.\n"
+                "HINT:  Increase maintenance_work_mem to speed up builds."
+            )
+        return wave
 
     def _attach_tid(self, elem: int, row: int) -> bool:
         """AddDuplicateOnDisk (hnswinsert.c:585-636): append a heap TID to
@@ -395,27 +453,28 @@ class HNSWIndex:
         return False
 
     def _alloc_slots(self, n: int) -> List[int]:
-        out = []
-        for _ in range(n):
-            if self.free_slots:
-                out.append(self.free_slots.pop())
-            else:
-                if self.n_elems >= self.cap_e:
-                    self._grow()
-                out.append(self.n_elems)
-                self.n_elems += 1
+        out = [self.free_slots.pop() for _ in range(min(len(self.free_slots), n))]
+        rem = n - len(out)
+        if rem:
+            while self.n_elems + rem > self.cap_e:
+                self._grow()
+            out.extend(range(self.n_elems, self.n_elems + rem))
+            self.n_elems += rem
         return out
 
-    def _alloc_upper(self) -> int:
-        if self.n_upper >= self.cap_u:
+    def _alloc_upper_bulk(self, n: int) -> np.ndarray:
+        while self.n_upper + n > self.cap_u:
             new_cap = self.cap_u * 2
             self.nbr_up = jnp.concatenate(
                 [self.nbr_up, jnp.full((new_cap - self.cap_u, L_MAX, self.m), -1, jnp.int32)]
             )
             self.cap_u = new_cap
-        s = self.n_upper
-        self.n_upper += 1
-        return s
+        out = np.arange(self.n_upper, self.n_upper + n, dtype=np.int32)
+        self.n_upper += n
+        return out
+
+    def _alloc_upper(self) -> int:
+        return int(self._alloc_upper_bulk(1)[0])
 
     def _grow(self) -> None:
         new_cap = self.cap_e * 2
@@ -517,7 +576,7 @@ class HNSWIndex:
                 pd = jnp.concatenate([pd, intra_d], axis=1)
                 pi = jnp.concatenate([pi, intra_i], axis=1)
             # fixed block size → one compiled select shape per lm
-            block = _round_pow2(self.wave_size)
+            block = _round_pow2(self._wave_eff)
             for start in range(0, len(q_sel), block):
                 chunk = q_sel[start: start + block]
                 pad = block - len(chunk)
@@ -556,36 +615,44 @@ class HNSWIndex:
     ) -> None:
         """HnswUpdateConnection for every (new element → neighbor) edge:
         group by target, then one select per target over old ∪ new
-        (hnswutils.c:1181-1229).  Target/source counts are padded to powers
-        of two to bound jit variants."""
-        pairs: Dict[int, List[int]] = {}
-        for j, e in enumerate(src_elems):
-            for n in sel[j]:
-                if n >= 0:
-                    pairs.setdefault(int(n), []).append(int(e))
-        if not pairs:
+        (hnswutils.c:1181-1229).  Grouping is one stable argsort over the
+        flattened edge list (no per-pair Python); target/source counts are
+        padded to powers of two to bound jit variants."""
+        flat_t = np.asarray(sel).reshape(-1)
+        flat_s = np.repeat(src_elems.astype(np.int32), sel.shape[1])
+        mask = flat_t >= 0
+        if not mask.any():
             return
+        order = np.argsort(flat_t[mask], kind="stable")
+        ts = flat_t[mask][order]
+        ss = flat_s[mask][order]
+        uniq, starts, counts = np.unique(ts, return_index=True, return_counts=True)
         SMAX = 8  # new sources folded per round; overflow runs extra rounds
+        offs = np.arange(SMAX)
         rnd = 0
-        while pairs:
-            entries = [(t, srcs[rnd * SMAX:(rnd + 1) * SMAX])
-                       for t, srcs in pairs.items()
-                       if len(srcs) > rnd * SMAX]
-            if not entries:
+        while True:
+            has = counts > rnd * SMAX
+            if not has.any():
                 break
-            self._backlink_round(entries, level, lm, SMAX)
+            t_r = uniq[has].astype(np.int32)
+            st = starts[has] + rnd * SMAX
+            n_r = np.minimum(counts[has] - rnd * SMAX, SMAX)
+            idx = st[:, None] + offs[None, :]
+            ok = offs[None, :] < n_r[:, None]
+            new_src = np.where(ok, ss[np.minimum(idx, len(ss) - 1)], -1).astype(np.int32)
+            self._backlink_round(t_r, new_src, level, lm, SMAX)
             rnd += 1
 
-    def _backlink_round(self, entries, level: int, lm: int, smax: int) -> None:
-        targets = np.array([t for t, _ in entries], np.int32)
+    def _backlink_round(self, targets: np.ndarray, src_mat: np.ndarray,
+                        level: int, lm: int, smax: int) -> None:
         # fixed block size → one compiled backlink-merge shape per lm
-        block = _round_pow2(max(self.wave_size, 1))
+        block = _round_pow2(max(self._wave_eff, 1))
         for start in range(0, len(targets), block):
             t_chunk = targets[start: start + block]
             pad = block - len(t_chunk)
-            new_src = np.full((block, smax), -1, np.int32)
-            for i, (_, srcs) in enumerate(entries[start: start + block]):
-                new_src[i, : len(srcs)] = srcs
+            new_src = np.concatenate(
+                [src_mat[start: start + block],
+                 np.full((pad, smax), -1, np.int32)])
             t_full = np.concatenate([t_chunk, np.full(pad, -1, np.int32)])
             t_dev = jnp.asarray(t_full)
             old = self._neighbors_of_level(t_dev, level)  # (T, lm)
@@ -613,46 +680,43 @@ class HNSWIndex:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Algorithm 5 scan (hnswscan.c).  Returns (operator distances,
         row ids), -1/inf padded.  Without iterative scans the result count
-        is capped at ef_search (README.md:933-935)."""
+        is capped at ef_search (README.md:933-935); with
+        ``hnsw.iterative_scan`` on, exhausted searches RESUME from the best
+        discarded candidates with a persistent visited set
+        (ResumeScanItems, hnswscan.c:61-87) until k results pass the filter,
+        ``hnsw.max_scan_tuples`` is reached, or the memory cap binds."""
         ef = int(
             config.validate("hnsw.ef_search", ef_search)
             if ef_search is not None
             else config.get("hnsw.ef_search")
         )
-        iterative = config.get("hnsw.iterative_scan") != "off"
-        max_tuples = int(config.get("hnsw.max_scan_tuples"))
-        # memory cap: iterative scans stop growing when the per-query scan
-        # state would exceed work_mem × scan_mem_multiplier
-        # (hnswscan.c:149-156, 255-266).  State ≈ ef pool slots × (vector +
-        # pool + visited bookkeeping).
-        bytes_per_slot = 4 * (self.table.dim if self.kind != "sparse"
-                              else 2 * self.table.nnz_cap) + 64
-        mem_budget = config.get("work_mem") * config.get("hnsw.scan_mem_multiplier")
-        mem_cap_ef = max(int(mem_budget // max(bytes_per_slot, 1)), 1)
+        mode = config.get("hnsw.iterative_scan")
         qs, nq = self._query_rep(q)
 
         if self.entry < 0:
             return (np.full((nq, k), np.inf, np.float32), np.full((nq, k), -1, np.int64))
 
         fmask = jnp.asarray(filter_mask, dtype=bool) if filter_mask is not None else None
-        ef_eff = ef
-        while True:
-            d, r = self._search_once(qs, nq, k, ef_eff, fmask)
-            if not iterative:
-                break
-            found = int(np.min(np.sum(np.isfinite(np.asarray(d)), axis=1)))
-            cap = min(max_tuples, mem_cap_ef)
-            if found >= min(k, ef_eff) or ef_eff >= cap:
-                break
-            ef_eff = min(ef_eff * 2, cap)
-        return np.asarray(d), np.asarray(r)
+        if mode == "off":
+            d, r = self._search_once(qs, nq, k, ef, fmask)
+            return np.asarray(d), np.asarray(r)
+        return self._search_iterative(qs, nq, k, ef, fmask, mode)
+
+    def _scan_bytes_per_query(self, ef: int) -> int:
+        """Device bytes of per-query scan state at a given ef: pool slots ×
+        (vector copy + distance + id + expanded flag) plus the visited hash
+        table — the allocation that OOMs first at scale."""
+        vec_bytes = 4 * (self.table.dim if self.kind != "sparse"
+                         else 2 * self.table.nnz_cap)
+        pool_bytes = ef * (vec_bytes + 9)
+        return pool_bytes + 4 * K.visited_capacity(ef)
 
     def _search_once(self, qs, nq: int, k: int, ef: int, fmask):
         self._sync_device_meta()
         if fmask is None:
             fmask = jnp.ones(self.table.capacity, jnp.bool_)
         query_fn = K.query_search_host if K.use_host_loop() else K.query_search
-        d, r = query_fn(
+        d, r, steps = query_fn(
             self.kind, self.metric, self.values,
             self.nbr0, self.nbr_up, self._up_slot_dev,
             self._elem_rows_dev,
@@ -661,7 +725,86 @@ class HNSWIndex:
             ef=ef, m=self.m, l_unroll=self._l_unroll, k=k,
             heaptids=HEAPTIDS, expand=self.beam_expand,
         )
+        #: layer-0 hop count of the last scan — telemetry for FLOP/MFU
+        #: accounting (bench.py); a device scalar until read
+        self._last_scan_steps = steps
         return self._user_dist(d), r
+
+    def _search_iterative(self, qs, nq: int, k: int, ef: int, fmask, mode: str):
+        """Iterative scan driver: first search keeps a discarded pool; each
+        resume re-seeds layer 0 from it with the visited set intact
+        (hnswscan.c:61-87).  ``strict_order`` suppresses results whose
+        distance regressed below an already-emitted batch's maximum
+        (the previousDistance filter, hnswscan.c:313-319); relaxed keeps
+        them.  Stops at hnsw.max_scan_tuples or the work_mem ×
+        scan_mem_multiplier memory cap (hnswscan.c:149-156, 255-266)."""
+        self._sync_device_meta()
+        max_tuples = int(config.get("hnsw.max_scan_tuples"))
+        mem_budget = (config.get("work_mem")
+                      * config.get("hnsw.scan_mem_multiplier"))
+        fm = fmask if fmask is not None else jnp.ones(self.table.capacity, jnp.bool_)
+        dk = max(4 * ef, 64)
+        pool_d, pool_i, visited, disc_d, disc_i = K.query_search_first(
+            self.kind, self.metric, self.values, self.nbr0, self.nbr_up,
+            self._up_slot_dev, qs, jnp.int32(self.entry),
+            jnp.int32(self.entry_level), ef=ef, m=self.m,
+            l_unroll=self._l_unroll, dk=dk, expand=self.beam_expand,
+        )
+        acc_d: List[np.ndarray] = []
+        acc_r: List[np.ndarray] = []
+        prev_max = np.full(nq, -np.inf, np.float32)
+        scanned = np.zeros(nq, np.int64)
+        batches = 0
+        while True:
+            batches += 1
+            d_dev, r_dev = K._expand_topk_jit(
+                pool_d, pool_i, self._elem_rows_dev, self.table.valid, fm,
+                ef, HEAPTIDS,
+            )
+            d = np.asarray(self._user_dist(d_dev))
+            r = np.asarray(r_dev)
+            scanned += np.isfinite(np.asarray(pool_d)).sum(axis=1)
+            if mode == "strict_order" and batches > 1:
+                # suppress regressions below what earlier batches emitted
+                bad = d < prev_max[:, None]
+                d = np.where(bad, np.inf, d)
+                r = np.where(bad, -1, r)
+            finite = np.isfinite(d)
+            batch_max = np.where(finite.any(axis=1),
+                                 np.max(np.where(finite, d, -np.inf), axis=1),
+                                 prev_max)
+            prev_max = np.maximum(prev_max, batch_max.astype(np.float32))
+            acc_d.append(d)
+            acc_r.append(r)
+            found = _count_found(acc_r, nq)
+            disc_live = ~np.all(np.isinf(np.asarray(disc_d)), axis=1)
+            active = (found < k) & (scanned < max_tuples) & disc_live
+            state_bytes = (self._scan_bytes_per_query(ef)
+                           + 4 * dk + batches * ef * 16)
+            if not active.any() or state_bytes > mem_budget or batches >= 64:
+                break
+            pool_d, pool_i, visited, disc_d, disc_i = K.query_search_resume(
+                self.kind, self.metric, self.values, self.nbr0, self.nbr_up,
+                self._up_slot_dev, qs, visited, disc_d, disc_i,
+                ef=ef, m=self.m, expand=self.beam_expand,
+            )
+        # merge batches: per-query dedup (keep first occurrence — batch
+        # order mirrors emission order), sort by distance, take k
+        all_d = np.concatenate(acc_d, axis=1)
+        all_r = np.concatenate(acc_r, axis=1)
+        out_d = np.full((nq, k), np.inf, np.float32)
+        out_r = np.full((nq, k), -1, np.int64)
+        for qi in range(nq):
+            rows = all_r[qi]
+            dists = all_d[qi]
+            ok = rows >= 0
+            rows, dists = rows[ok], dists[ok]
+            _, first = np.unique(rows, return_index=True)
+            rows, dists = rows[first], dists[first]
+            order = np.argsort(dists, kind="stable")[:k]
+            out_d[qi, : len(order)] = dists[order]
+            out_r[qi, : len(order)] = rows[order]
+        return out_d, out_r
 
     def _user_dist(self, stored: jnp.ndarray) -> jnp.ndarray:
         if self.metric is Metric.L2:
@@ -674,22 +817,37 @@ class HNSWIndex:
     def vacuum(self) -> None:
         """hnswbulkdelete's 4 passes (hnswvacuum.c:777-797), wave-batched."""
         valid_rows = np.asarray(self.table.valid)
-        # pass 1: RemoveHeapTids (hnswvacuum.c:35-173)
+        # pass 1: RemoveHeapTids (hnswvacuum.c:35-173) — vectorized: drop
+        # dead TIDs and left-compact each element's slot row
         live_elems = np.flatnonzero(self.levels >= 0)
-        deleting: List[int] = []
-        for e in live_elems:
-            tids = self.elem_rows[e]
-            keep = [int(r) for r in tids if r >= 0 and valid_rows[r]]
-            self.elem_rows[e, :] = -1
-            self.elem_rows[e, : len(keep)] = keep
-            if not keep:
-                deleting.append(int(e))
+        er = self.elem_rows[live_elems]  # (L, 10)
+        keep = (er >= 0) & valid_rows[np.maximum(er, 0)]
+        order = np.argsort(~keep, axis=1, kind="stable")
+        self.elem_rows[live_elems] = np.take_along_axis(
+            np.where(keep, er, -1), order, axis=1
+        )
+        deleting = [int(e) for e in live_elems[~keep.any(axis=1)]]
         if not deleting:
             return
         deleting_set = set(deleting)
         dead_mask = np.zeros(self.cap_e, bool)
         dead_mask[deleting] = True
         dead_dev = jnp.asarray(dead_mask)
+
+        # which live elements reference a deleting element at ANY layer —
+        # computed before the strip; feeds the NeedsUpdated condition
+        # (hnswvacuum.c:178-220: every layer is checked, not just layer 0)
+        ref0 = np.asarray(jnp.any(
+            dead_dev[jnp.maximum(self.nbr0, 0)] & (self.nbr0 >= 0), axis=1
+        ))[: self.n_elems]
+        ref_up_slot = np.asarray(jnp.any(
+            dead_dev[jnp.maximum(self.nbr_up, 0)] & (self.nbr_up >= 0),
+            axis=(1, 2),
+        ))
+        ref_any = ref0.copy()
+        ups = self.up_slot[: self.n_elems]
+        has_up = ups >= 0
+        ref_any[has_up] |= ref_up_slot[ups[has_up]]
 
         # pass 2: RepairGraph (hnswvacuum.c:378-502)
         # 2a. entry point replacement (RepairGraphEntryPoint :279-373)
@@ -707,17 +865,17 @@ class HNSWIndex:
                               -1, self.nbr0)
         self.nbr_up = jnp.where(dead_dev[jnp.maximum(self.nbr_up, 0)] & (self.nbr_up >= 0),
                                 -1, self.nbr_up)
-        # 2c. re-link affected elements: those with non-full level-0 lists
-        # (NeedsUpdated also repairs short lists, hnswvacuum.c:211-215)
+        # 2c. re-link affected elements: NeedsUpdated (hnswvacuum.c:178-220)
+        # = any layer's list referenced a deleting element, or the level-0
+        # list is not full (:211-215).  _repair_elements re-searches at the
+        # element's full level range, so upper-level lists are repaired too.
         if self.entry >= 0:
             nbr0_host = np.asarray(self.nbr0[: self.n_elems])
             lens = (nbr0_host >= 0).sum(axis=1)
             affected = np.flatnonzero(
                 (self.levels[: self.n_elems] >= 0) & ~dead_mask[: self.n_elems]
-                & (lens < 2 * self.m)
+                & (ref_any | (lens < 2 * self.m))
             )
-            # only repair elements that actually lost an edge or are new-ishly
-            # sparse; reference recomputes from scratch via search
             if len(affected):
                 self._repair_elements(affected)
 
@@ -759,9 +917,10 @@ class HNSWIndex:
         """RepairGraphElement (hnswvacuum.c:225-274): recompute neighbors
         from scratch with a fresh search wave and overwrite the lists."""
         lv = self.levels[elems]
-        for start in range(0, len(elems), self.wave_size):
-            chunk = elems[start: start + self.wave_size]
-            self._insert_wave_repair(chunk, lv[start: start + self.wave_size])
+        wave = self._effective_wave_size()
+        for start in range(0, len(elems), wave):
+            chunk = elems[start: start + wave]
+            self._insert_wave_repair(chunk, lv[start: start + wave])
 
     def _insert_wave_repair(self, elems: np.ndarray, lv: np.ndarray) -> None:
         """Like _insert_wave but for existing elements (existing=true search,
@@ -775,6 +934,15 @@ class HNSWIndex:
     @property
     def live_elements(self) -> int:
         return int((self.levels >= 0).sum())
+
+
+def _count_found(acc_r: List[np.ndarray], nq: int) -> np.ndarray:
+    """Distinct result rows collected so far per query."""
+    allr = np.concatenate(acc_r, axis=1)
+    return np.array(
+        [len(np.unique(allr[qi][allr[qi] >= 0])) for qi in range(nq)],
+        np.int64,
+    )
 
 
 def _dup_keys(host_vals: List[np.ndarray]) -> List[bytes]:

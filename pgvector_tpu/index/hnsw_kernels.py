@@ -6,8 +6,8 @@ The reference walks the graph one candidate at a time: HnswSearchLayer
 from a pairing heap, loads its neighbors from buffer pages, and computes one
 distance per fmgr call.  Here the same algorithm runs for a whole *batch* of
 queries per kernel: the pool (C and W merged into one ef-bounded sorted
-array with expanded flags), the visited set (a bool plane scatter-set per
-hop), the per-hop neighbor gather, and the distance evaluation are all
+array with expanded flags), the visited set (a bounded per-query hash table,
+scatter-probed per hop), the per-hop neighbor gather, and the distance are all
 (Q, ·)-shaped device ops, so every hop is one gather + one batched distance
 block + one small sort instead of Q·lm pointer chases.
 
@@ -172,25 +172,76 @@ def _neighbors_closure(nbr0, nbr_up, up_slot):
 
 
 # ---------------------------------------------------------------------------
-# visited plane
+# visited set — bounded per-query open-addressed hash table
+#
+# The reference's visited set is a per-scan hash table (tidhash/pointer-hash,
+# hnswutils.c:40-107).  The round-1 TPU design used a bool[Q, cap_e] plane —
+# O(Q·N) HBM that dominates traffic per hop and reaches ~1 GB per beam call
+# at 1M elements.  This is the bounded replacement: an int32[Q, H] table
+# (H = O(ef), power of two) with two multiplicative-hash probe positions.
+#
+# Semantics: membership is checked by exact id equality, so there are no
+# false "already visited" answers (which would hurt recall).  Inserts only
+# land in EMPTY slots (scatter-max against -1-initialized slots never evicts
+# an occupant); an insert that finds both slots occupied simply fails, and
+# the element may be re-scored on a later hop — wasted work, never wrongness.
+# An explicit pool-membership check in the hop body keeps the ef pool
+# duplicate-free regardless.
 # ---------------------------------------------------------------------------
 
-
-def _set_visited(visited: jnp.ndarray, elems: jnp.ndarray) -> jnp.ndarray:
-    """Scatter-set True at (q, elem) — idempotent, so duplicate ids are
-    safe (the tidhash/pointer-hash replacement, hnswutils.c:40-107)."""
-    nq = visited.shape[0]
-    rows = jnp.broadcast_to(jnp.arange(nq, dtype=jnp.int32)[:, None], elems.shape)
-    safe = jnp.maximum(elems, 0)
-    updates = elems >= 0
-    return visited.at[rows.reshape(-1), safe.reshape(-1)].max(updates.reshape(-1))
+_V_SALT1 = jnp.uint32(0x9E3779B1)  # 2^32 / golden ratio (Knuth)
+_V_SALT2 = jnp.uint32(0x85EBCA77)  # murmur3 c2
 
 
-def _get_visited(visited: jnp.ndarray, elems: jnp.ndarray) -> jnp.ndarray:
-    nq = visited.shape[0]
-    rows = jnp.broadcast_to(jnp.arange(nq, dtype=jnp.int32)[:, None], elems.shape)
-    safe = jnp.maximum(elems, 0)
-    return visited[rows.reshape(-1), safe.reshape(-1)].reshape(elems.shape) & (elems >= 0)
+def visited_capacity(ef: int) -> int:
+    """Table width per query: sized so the typical layer-0 visit count
+    (~ef·lm/2 scored candidates) stays under ~1/3 load with 2-choice
+    probing.  Power of two for mask-free slot math."""
+    h = 8192
+    while h < 128 * ef:
+        h *= 2
+    return h
+
+
+def visited_init(nq: int, ef: int) -> jnp.ndarray:
+    return jnp.full((nq, visited_capacity(ef)), -1, jnp.int32)
+
+
+def _v_slots(table: jnp.ndarray, elems: jnp.ndarray):
+    bits = int(table.shape[1]).bit_length() - 1
+    shift = jnp.uint32(32 - bits)
+    x = elems.astype(jnp.uint32)
+    s1 = ((x * _V_SALT1) >> shift).astype(jnp.int32)
+    s2 = ((x * _V_SALT2) >> shift).astype(jnp.int32)
+    return s1, s2
+
+
+def visited_probe(table: jnp.ndarray, elems: jnp.ndarray):
+    """Membership check + insert for a (Q, R) block of element ids
+    (negative ids ignored).  Returns (table, seen) where ``seen`` is True
+    only for elements already present before this call."""
+    nq = table.shape[0]
+    rows = jnp.broadcast_to(
+        jnp.arange(nq, dtype=jnp.int32)[:, None], elems.shape
+    ).reshape(-1)
+    s1, s2 = _v_slots(table, elems)
+    f1, f2 = s1.reshape(-1), s2.reshape(-1)
+    live = elems >= 0
+    occ1 = table[rows, f1].reshape(elems.shape)
+    occ2 = table[rows, f2].reshape(elems.shape)
+    seen = ((occ1 == elems) | (occ2 == elems)) & live
+    # insert pass 1: empty slot 1 (scatter-max: occupied slots receive -1
+    # and are untouched; racing inserts into one empty slot pick a winner)
+    want1 = (~seen) & live & (occ1 < 0)
+    table = table.at[rows, f1].max(
+        jnp.where(want1, elems, -1).reshape(-1))
+    won1 = table[rows, f1].reshape(elems.shape) == elems
+    # insert pass 2: the rest try slot 2
+    rem = (~seen) & live & ~(want1 & won1)
+    want2 = rem & (occ2 < 0)
+    table = table.at[rows, f2].max(
+        jnp.where(want2, elems, -1).reshape(-1))
+    return table, seen
 
 
 # ---------------------------------------------------------------------------
@@ -199,13 +250,18 @@ def _get_visited(visited: jnp.ndarray, elems: jnp.ndarray) -> jnp.ndarray:
 
 
 def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
-              ef: int, expand: int = 1):
+              ef: int, expand: int = 1, disc=None):
     """One expansion hop: pop the ``expand`` nearest unexpanded candidates
     per query, gather their neighbors, score the unvisited ones, merge into
     the pool.  expand=1 is exactly Algorithm 2's best-first order;
     expand>1 trades a slightly relaxed expansion order for ~expand× fewer
     sequential hops (the standard GPU/TPU beam widening — same ef bound,
-    recall validated by the test floors)."""
+    recall validated by the test floors).
+
+    ``disc`` — optional (disc_d, disc_i) discarded pool: candidates evicted
+    past the ef bound are merged into it (the discarded pairing heap of
+    iterative scans, hnswutils.c:936-971).  Returned as the last element
+    when given."""
     nq = pool_d.shape[0]
     cand_mask = (~pool_x) & (pool_i >= 0)
     cand_d = jnp.where(cand_mask, pool_d, jnp.inf)
@@ -235,8 +291,6 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     nbrs = jnp.concatenate(
         [jnp.where(sel_elem[:, e][:, None] >= 0, p, -1)
          for e, p in enumerate(parts)], axis=1)
-    seen = _get_visited(visited, nbrs)
-    nbrs = jnp.where(seen, -1, nbrs)
     # dedupe within the hop (two expanded nodes sharing a neighbor)
     if sel_elem.shape[1] > 1:
         c = nbrs.shape[1]
@@ -245,12 +299,28 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
         earlier = idx[None, :, None] > idx[None, None, :]
         dup = jnp.any(eq & earlier & (nbrs[:, :, None] >= 0), axis=2)
         nbrs = jnp.where(dup, -1, nbrs)
-    visited = _set_visited(visited, nbrs)
+    # pool-membership check: keeps the ef pool duplicate-free even when a
+    # visited-table insert failed (hash-set load spill → benign revisit)
+    in_pool = jnp.any(nbrs[:, :, None] == pool_i[:, None, :], axis=2)
+    nbrs = jnp.where(in_pool, -1, nbrs)
+    visited, seen = visited_probe(visited, nbrs)
+    nbrs = jnp.where(seen, -1, nbrs)
     nd = score(qs, nbrs)
     d = jnp.concatenate([pool_d, nd], axis=1)
     i = jnp.concatenate([pool_i, nbrs], axis=1)
     x = jnp.concatenate([pool_x.astype(jnp.int32), jnp.zeros_like(nbrs)], axis=1)
     d, i, x = jax.lax.sort((d, i, x), num_keys=1)
+    if disc is not None:
+        # candidates evicted past the ef bound feed the discarded pool
+        # (hnswutils.c:936-971); -1/inf padding sorts to the tail
+        disc_d, disc_i = disc
+        dk = disc_d.shape[1]
+        dd = jnp.concatenate([disc_d, d[:, ef:]], axis=1)
+        di = jnp.concatenate([disc_i, i[:, ef:]], axis=1)
+        dd, di = jax.lax.sort((dd, di), num_keys=1)
+        disc = (dd[:, :dk], di[:, :dk])
+        return (d[:, :ef], i[:, :ef], x[:, :ef].astype(jnp.bool_), visited,
+                disc, done)
     return d[:, :ef], i[:, :ef], x[:, :ef].astype(jnp.bool_), visited, done
 
 
@@ -280,15 +350,37 @@ def _init_pool(qs, init_d, init_i, ef: int):
 
 
 def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
-                 ef: int, lm: int, max_steps: int, expand: int = 1):
+                 ef: int, lm: int, max_steps: int, expand: int = 1,
+                 disc=None):
     """Algorithm 2 (HnswSearchLayer, hnswutils.c:822-985), batched, as a
-    traced while_loop — for use inside the TPU mono-jits."""
+    traced while_loop — for use inside the TPU mono-jits.
+
+    With ``disc`` (a (disc_d, disc_i) pair), evicted candidates accumulate
+    into the discarded pool and the return is
+    (pool_d, pool_i, visited, disc, steps); without it,
+    (pool_d, pool_i, visited, steps)."""
     pool_d, pool_i, pool_x = _init_pool(qs, init_d, init_i, ef)
-    visited = _set_visited(visited, pool_i)
+    visited, _ = visited_probe(visited, pool_i)
+    nq = pool_d.shape[0]
 
     def cond(state):
-        _, _, _, _, step, done = state
+        step, done = state[-2], state[-1]
         return jnp.logical_and(~jnp.all(done), step < max_steps)
+
+    if disc is not None:
+        def body(state):
+            pool_d, pool_i, pool_x, visited, dd, di, step, _ = state
+            pool_d, pool_i, pool_x, visited, (dd, di), done = _hop_body(
+                score, neighbors_of, qs, pool_d, pool_i, pool_x, visited, ef,
+                expand, disc=(dd, di),
+            )
+            return pool_d, pool_i, pool_x, visited, dd, di, step + 1, done
+
+        state = (pool_d, pool_i, pool_x, visited, disc[0], disc[1],
+                 jnp.int32(0), jnp.zeros((nq,), jnp.bool_))
+        (pool_d, pool_i, pool_x, visited, dd, di, steps, _) = \
+            jax.lax.while_loop(cond, body, state)
+        return pool_d, pool_i, visited, (dd, di), steps
 
     def body(state):
         pool_d, pool_i, pool_x, visited, step, _ = state
@@ -298,17 +390,18 @@ def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
         )
         return pool_d, pool_i, pool_x, visited, step + 1, done
 
-    nq = pool_d.shape[0]
     state = (pool_d, pool_i, pool_x, visited, jnp.int32(0),
              jnp.zeros((nq,), jnp.bool_))
-    pool_d, pool_i, pool_x, visited, _, _ = jax.lax.while_loop(cond, body, state)
-    return pool_d, pool_i, visited
+    pool_d, pool_i, pool_x, visited, steps, _ = \
+        jax.lax.while_loop(cond, body, state)
+    return pool_d, pool_i, visited, steps
 
 
 @functools.partial(jax.jit, static_argnames=("ef",))
 def _pool_seed(qs, init_d, init_i, visited, ef: int):
     pool_d, pool_i, pool_x = _init_pool(qs, init_d, init_i, ef)
-    return pool_d, pool_i, pool_x, _set_visited(visited, pool_i)
+    visited, _ = visited_probe(visited, pool_i)
+    return pool_d, pool_i, pool_x, visited
 
 
 def search_layer_host(kind, metric, values, nbr0, nbr_up, up_slot, level,
@@ -318,14 +411,16 @@ def search_layer_host(kind, metric, values, nbr0, nbr_up, up_slot, level,
     on the host (CPU backend path)."""
     pool_d, pool_i, pool_x, visited = _pool_seed(qs, init_d, init_i, visited, ef)
     lvl = jnp.int32(level)
+    steps = 0
     for _ in range(max_steps):
         pool_d, pool_i, pool_x, visited, done = _hop_step(
             kind, metric, values, nbr0, nbr_up, up_slot, lvl, qs,
             pool_d, pool_i, pool_x, visited, ef, expand
         )
+        steps += 1
         if bool(jnp.all(done)):
             break
-    return pool_d, pool_i, visited
+    return pool_d, pool_i, visited, jnp.int32(steps)
 
 
 # ---------------------------------------------------------------------------
@@ -670,7 +765,6 @@ def wave_search(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
     height ≤ l_unroll."""
     score = make_scorer(kind, metric, values)
     nbrs = _neighbors_closure(nbr0, nbr_up, up_slot)
-    cap_e = nbr0.shape[0]
     nq = lv.shape[0]
 
     def greedy_fn(lc, qs_, cur, cur_d):
@@ -678,8 +772,8 @@ def wave_search(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
                               m, max_steps=512)
 
     def beam_fn(lc, qs_, pool_d, pool_i):
-        visited = jnp.zeros((nq, cap_e), jnp.bool_)
-        pd, pi, _ = search_layer(
+        visited = visited_init(nq, ef)
+        pd, pi, _, _ = search_layer(
             score, lambda e, _lc=lc: nbrs(e, jnp.int32(_lc)), qs_,
             pool_d, pool_i, visited, ef=ef, lm=2 * m, max_steps=4 * ef + 64,
             expand=expand,
@@ -696,7 +790,6 @@ def wave_search_host(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids,
                      exclude_self: bool, expand: int = 1):
     """CPU variant: same level structure, host-driven loops."""
     score = lambda q, r: score_block(kind, metric, values, q, r)
-    cap_e = nbr0.shape[0]
     nq = lv.shape[0]
 
     def greedy_fn(lc, qs_, cur, cur_d):
@@ -704,8 +797,8 @@ def wave_search_host(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids,
                                    up_slot, lc, qs_, cur, cur_d, max_steps=512)
 
     def beam_fn(lc, qs_, pool_d, pool_i):
-        visited = jnp.zeros((nq, cap_e), jnp.bool_)
-        pd, pi, _ = search_layer_host(
+        visited = visited_init(nq, ef)
+        pd, pi, _, _ = search_layer_host(
             kind, metric, values, nbr0, nbr_up, up_slot, lc, qs_,
             pool_d, pool_i, visited, ef=ef, max_steps=4 * ef + 64,
             expand=expand,
@@ -757,7 +850,6 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
     score = make_scorer(kind, metric, values)
     nbrs = _neighbors_closure(nbr0, nbr_up, up_slot)
     nq = qs.shape[0] if not isinstance(qs, tuple) else qs[0].shape[0]
-    cap_e = nbr0.shape[0]
 
     entry_arr = jnp.full((nq,), entry, jnp.int32)
     cur_d = score(qs, entry_arr[:, None])[:, 0]
@@ -765,13 +857,14 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
     for lc in range(l_unroll, 0, -1):
         cur, cur_d = greedy_descent(score, nbrs, qs, cur, cur_d, jnp.int32(lc),
                                     m, max_steps=512)
-    visited = jnp.zeros((nq, cap_e), jnp.bool_)
-    pool_d, pool_i, _ = search_layer(
+    visited = visited_init(nq, ef)
+    pool_d, pool_i, _, steps = search_layer(
         score, lambda e: nbrs(e, jnp.int32(0)), qs, cur_d[:, None],
         cur[:, None], visited, ef=ef, lm=2 * m, max_steps=8 * ef + 64,
         expand=expand,
     )
-    return _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k, heaptids)
+    d, r = _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k, heaptids)
+    return d, r, steps
 
 
 @functools.partial(jax.jit, static_argnames=("k", "heaptids"))
@@ -780,13 +873,76 @@ def _expand_topk_jit(pool_d, pool_i, elem_rows, row_valid, fmask,
     return _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k, heaptids)
 
 
+# ---------------------------------------------------------------------------
+# iterative scans — persistent visited set + discarded pool
+# (GetScanItems with keepSearchedLength/discarded, hnswscan.c:25-56;
+#  ResumeScanItems, hnswscan.c:61-87)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "metric", "ef", "m", "l_unroll", "dk", "expand"),
+)
+def query_search_first(kind, metric, values, nbr0, nbr_up, up_slot, qs,
+                       entry, entry_level, ef: int, m: int, l_unroll: int,
+                       dk: int, expand: int = 1):
+    """First batch of an iterative scan: Algorithm 5 with a live discarded
+    pool.  Returns (pool_d, pool_i, visited, disc_d, disc_i) — the scan
+    state a resume continues from."""
+    score = make_scorer(kind, metric, values)
+    nbrs = _neighbors_closure(nbr0, nbr_up, up_slot)
+    nq = qs.shape[0] if not isinstance(qs, tuple) else qs[0].shape[0]
+    entry_arr = jnp.full((nq,), entry, jnp.int32)
+    cur_d = score(qs, entry_arr[:, None])[:, 0]
+    cur = entry_arr
+    for lc in range(l_unroll, 0, -1):
+        cur, cur_d = greedy_descent(score, nbrs, qs, cur, cur_d, jnp.int32(lc),
+                                    m, max_steps=512)
+    visited = visited_init(nq, ef)
+    disc = (jnp.full((nq, dk), jnp.inf, jnp.float32),
+            jnp.full((nq, dk), -1, jnp.int32))
+    pool_d, pool_i, visited, (disc_d, disc_i), _ = search_layer(
+        score, lambda e: nbrs(e, jnp.int32(0)), qs, cur_d[:, None],
+        cur[:, None], visited, ef=ef, lm=2 * m, max_steps=8 * ef + 64,
+        expand=expand, disc=disc,
+    )
+    return pool_d, pool_i, visited, disc_d, disc_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "metric", "ef", "m", "expand")
+)
+def query_search_resume(kind, metric, values, nbr0, nbr_up, up_slot, qs,
+                        visited, disc_d, disc_i, ef: int, m: int,
+                        expand: int = 1):
+    """ResumeScanItems (hnswscan.c:61-87): re-seed a layer-0 search from the
+    best ef discarded candidates WITHOUT resetting the visited set
+    (initVisited=false), keeping the rest of the discarded pool live."""
+    score = make_scorer(kind, metric, values)
+    nbrs = _neighbors_closure(nbr0, nbr_up, up_slot)
+    nq = disc_d.shape[0]
+    dk = disc_d.shape[1]
+    seed_d, seed_i = disc_d[:, :ef], disc_i[:, :ef]
+    keep = min(ef, dk)
+    rest_d = jnp.concatenate(
+        [disc_d[:, keep:], jnp.full((nq, keep), jnp.inf, jnp.float32)], axis=1)
+    rest_i = jnp.concatenate(
+        [disc_i[:, keep:], jnp.full((nq, keep), -1, jnp.int32)], axis=1)
+    pool_d, pool_i, visited, (disc_d, disc_i), _ = search_layer(
+        score, lambda e: nbrs(e, jnp.int32(0)), qs, seed_d, seed_i,
+        visited, ef=ef, lm=2 * m, max_steps=8 * ef + 64, expand=expand,
+        disc=(rest_d, rest_i),
+    )
+    return pool_d, pool_i, visited, disc_d, disc_i
+
+
 def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                       row_valid, fmask, qs, entry, entry_level, ef: int,
                       m: int, l_unroll: int, k: int, heaptids: int,
                       expand: int = 1):
     """CPU variant of Algorithm 5 with host-driven loops."""
     nq = qs.shape[0] if not isinstance(qs, tuple) else qs[0].shape[0]
-    cap_e = nbr0.shape[0]
     entry_arr = jnp.full((nq,), entry, jnp.int32)
     cur_d = score_block(kind, metric, values, qs, entry_arr[:, None])[:, 0]
     cur = entry_arr
@@ -794,10 +950,11 @@ def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
         cur, cur_d = greedy_descent_host(kind, metric, values, nbr0, nbr_up,
                                          up_slot, lc, qs, cur, cur_d,
                                          max_steps=512)
-    visited = jnp.zeros((nq, cap_e), jnp.bool_)
-    pool_d, pool_i, _ = search_layer_host(
+    visited = visited_init(nq, ef)
+    pool_d, pool_i, _, steps = search_layer_host(
         kind, metric, values, nbr0, nbr_up, up_slot, 0, qs,
         cur_d[:, None], cur[:, None], visited, ef=ef, max_steps=8 * ef + 64,
     )
-    return _expand_topk_jit(pool_d, pool_i, elem_rows, row_valid, fmask, k,
+    d, r = _expand_topk_jit(pool_d, pool_i, elem_rows, row_valid, fmask, k,
                             heaptids)
+    return d, r, steps

@@ -188,3 +188,34 @@ def test_empty_index_search():
     idx = HNSWIndex(table, Metric.L2, build=False)
     d, r = idx.search(np.zeros((2, 8), np.float32), 5)
     assert (r == -1).all() and np.isinf(d).all()
+
+
+def test_iterative_scan_resumption_contract(data):
+    """test/t/043 methodology: as max_scan_tuples grows, an iterative
+    filtered scan returns more matches; strict_order output is sorted and
+    never larger than relaxed; resumption (not re-search) semantics mean
+    the visited set persists across batches."""
+    db, q = data
+    table, idx = build(db, Metric.L2)
+    fmask = np.zeros(table.capacity, bool)
+    fmask[::25] = True  # 4% selectivity
+    qs = q[:4]
+    counts = []
+    for cap in (20, 200, 20000):
+        with config.local(**{"hnsw.iterative_scan": "relaxed_order",
+                             "hnsw.max_scan_tuples": cap}):
+            d, r = idx.search(qs, 20, ef_search=10, filter_mask=fmask)
+        counts.append(int((r >= 0).sum()))
+    assert counts[0] <= counts[1] <= counts[2]
+    assert counts[2] > counts[0]
+    with config.local(**{"hnsw.iterative_scan": "relaxed_order"}):
+        d_rel, r_rel = idx.search(qs, 20, ef_search=10, filter_mask=fmask)
+    with config.local(**{"hnsw.iterative_scan": "strict_order"}):
+        d_str, r_str = idx.search(qs, 20, ef_search=10, filter_mask=fmask)
+    for i in range(len(qs)):
+        dd = d_str[i][np.isfinite(d_str[i])]
+        assert np.all(np.diff(dd) >= 0)
+    assert (r_str >= 0).sum() <= (r_rel >= 0).sum()
+    # every returned row passes the filter
+    for r in (r_rel, r_str):
+        assert all(x % 25 == 0 for x in r[r >= 0].ravel())

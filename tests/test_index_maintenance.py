@@ -54,3 +54,69 @@ def test_sparse_hnsw_insert_vacuum(rng):
     idx.vacuum()
     _, r = idx.search(q, 10, ef_search=80)
     assert (~np.isin(r, kill)).all()
+
+
+def test_maintenance_work_mem_notice(rng):
+    """test/t/045 spirit: a tiny build budget fires the NOTICE and the
+    build degrades (smaller waves) instead of failing — the TPU analogue of
+    hnswbuild.c:538-543's memory cliff."""
+    from pgvector_tpu.config import config
+    from pgvector_tpu.store.table import DenseTable
+
+    msgs = []
+    db = rng.normal(size=(400, 16)).astype(np.float32)
+    table = DenseTable(16, capacity=400)
+    table.insert(db)
+    with config.local(maintenance_work_mem=2 * 1024**2):
+        idx = HNSWIndex(table, Metric.L2, m=8, ef_construction=32,
+                        wave_size=256, dedup=False, notice_hook=msgs.append)
+    assert any("maintenance_work_mem" in m for m in msgs)
+    assert idx._wave_eff < 256
+    _, e = FlatIndex(table, Metric.L2).search(db[:5], 10)
+    _, r = idx.search(db[:5], 10, ef_search=64)
+    assert recall(r, e) >= 0.9
+    # ample budget: full wave, no notice
+    msgs2 = []
+    idx2 = HNSWIndex(table, Metric.L2, m=8, ef_construction=32,
+                     wave_size=256, dedup=False, notice_hook=msgs2.append)
+    assert idx2._wave_eff == 256 and not msgs2
+
+
+def test_vacuum_repairs_upper_levels(rng):
+    """Deleting all of an element's upper-level neighbors must leave the
+    element re-linked at that level after vacuum (NeedsUpdated checks every
+    layer, hnswvacuum.c:178-220) so greedy descent still reaches it."""
+    from pgvector_tpu.store.table import DenseTable
+
+    db = rng.normal(size=(400, 8)).astype(np.float32)
+    table = DenseTable(8, capacity=400)
+    table.insert(db)
+    idx = HNSWIndex(table, Metric.L2, m=4, ef_construction=16,
+                    wave_size=64, dedup=False)
+    lv = idx.levels[: idx.n_elems]
+    nbr_up = np.asarray(idx.nbr_up)
+    # pick a level>=1 element (not the entry) whose level-1 list is non-empty
+    target, nbrs = None, None
+    for e in np.flatnonzero(lv >= 1):
+        if int(e) == idx.entry:
+            continue
+        cand = np.unique(nbr_up[int(idx.up_slot[e])].ravel())
+        cand = cand[cand >= 0]
+        if len(cand):
+            target, nbrs = int(e), cand
+            break
+    assert target is not None
+    kill_rows = np.concatenate(
+        [idx.elem_rows[e][idx.elem_rows[e] >= 0] for e in nbrs]
+    )
+    table.delete(kill_rows)
+    idx.vacuum()
+    # upper list repaired: non-empty and every neighbor live
+    lst = np.asarray(idx.nbr_up[int(idx.up_slot[target])][0])
+    live = lst[lst >= 0]
+    assert len(live) > 0
+    assert all(idx.levels[e] >= 0 for e in live)
+    idx.vacuum()  # idempotent second pass
+    tgt_row = int(idx.elem_rows[target][0])
+    _, r = idx.search(db[tgt_row][None, :], 1, ef_search=40)
+    assert int(r[0, 0]) == tgt_row
