@@ -12,6 +12,9 @@ from .mesh import make_mesh, shard_rows
 from .sharded import (
     sharded_exact_search,
     sharded_kmeans_step,
+    train_centers_sharded,
+    DeviceShardedHNSWIndex,
+    DeviceShardedIVFFlatIndex,
     ShardedFlatIndex,
     ShardedHNSWIndex,
     ShardedIVFFlatIndex,
@@ -22,6 +25,9 @@ __all__ = [
     "shard_rows",
     "sharded_exact_search",
     "sharded_kmeans_step",
+    "train_centers_sharded",
+    "DeviceShardedHNSWIndex",
+    "DeviceShardedIVFFlatIndex",
     "ShardedFlatIndex",
     "ShardedHNSWIndex",
     "ShardedIVFFlatIndex",

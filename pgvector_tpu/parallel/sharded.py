@@ -96,11 +96,15 @@ def sharded_kmeans_step(
     data: jnp.ndarray,  # (S, D) sharded over samples
     centers: jnp.ndarray,  # (k, D) replicated
     axis: str = "shard",
+    spherical: bool = False,
+    binary: bool = False,
 ) -> jnp.ndarray:
     """One Lloyd's iteration over a sample-sharded dataset: local assignment
     matmul + local per-center partial sums, reduced with psum over ICI —
     the data-parallel analogue of the reference's parallel build workers
-    feeding one shared state (SURVEY.md §2.4.2-3)."""
+    feeding one shared state (SURVEY.md §2.4.2-3).  ``spherical``/``binary``
+    apply the reference's per-round center normalization hooks
+    (NormCenters ivfkmeans.c:96-105; bit threshold ivfutils.c:282-423)."""
     s = data.shape[0]
     n_shards = mesh.shape[axis]
     pad = (-s) % n_shards
@@ -116,13 +120,21 @@ def sharded_kmeans_step(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        c_sq = jnp.sum(centers_rep * centers_rep, axis=1)
-        assign = jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=1)
+        if spherical:
+            assign = jnp.argmax(ip, axis=1)
+        else:
+            c_sq = jnp.sum(centers_rep * centers_rep, axis=1)
+            assign = jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=1)
         sums = jax.ops.segment_sum(data_s * w_s[:, None], assign, num_segments=k)
         counts = jax.ops.segment_sum(w_s, assign, num_segments=k)
         sums = jax.lax.psum(sums, axis)
         counts = jax.lax.psum(counts, axis)
         new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
+        if spherical:
+            norms = jnp.sqrt(jnp.sum(new_centers**2, axis=1, keepdims=True))
+            new_centers = new_centers / jnp.maximum(norms, 1e-30)
+        if binary:
+            new_centers = (new_centers > 0.5).astype(jnp.float32)
         return jnp.where((counts == 0)[:, None], centers_rep, new_centers)
 
     fn = jax.shard_map(
@@ -133,6 +145,45 @@ def sharded_kmeans_step(
         check_vma=False,  # psum makes the outputs replicated
     )
     return fn(data, weights, centers)
+
+
+def train_centers_sharded(
+    mesh: Mesh,
+    data: jnp.ndarray,
+    k: int,
+    *,
+    axis: str = "shard",
+    spherical: bool = False,
+    binary: bool = False,
+    seed: int = 0,
+    max_iters: int = 500,
+) -> jnp.ndarray:
+    """Full IVF center training with sample-sharded Lloyd iterations — the
+    device-parallel analogue of the reference's parallel k-means phase
+    (ivfbuild.c:829-966).  Seeding (k-means++) is sequential by nature and
+    runs replicated; each Lloyd round is one sharded step with psum'd
+    center statistics over ICI.  Early exit when centers stop moving
+    (assignment-change exit of ivfkmeans.c:347 is equivalent at fixpoint)."""
+    from ..index.ivf_kmeans import _kmeanspp_init
+
+    data = data.astype(jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    init = _kmeanspp_init(data, key, k, spherical)
+    if binary:
+        init = (init > 0.5).astype(jnp.float32)
+    centers = init
+    step = jax.jit(
+        lambda d, c: sharded_kmeans_step(
+            mesh, d, c, axis=axis, spherical=spherical, binary=binary
+        )
+    )
+    for _ in range(max_iters):
+        new = step(data, centers)
+        if bool(jnp.all(new == centers)):
+            centers = new
+            break
+        centers = new
+    return centers
 
 
 # ---------------------------------------------------------------------------
@@ -243,3 +294,291 @@ class ShardedHNSWIndex(_ShardedWrapper):
     def search(self, qs, k: int, ef_search: Optional[int] = None):
         results = [s.search(qs, k, ef_search=ef_search) for s in self.shards]
         return self._merge(results, k)
+
+
+# ---------------------------------------------------------------------------
+# device-placed sharded indexes — per-device graph/posting arrays under a
+# Mesh, ONE jitted fan-out per query batch, all_gather top-k merge over ICI
+# (SURVEY.md §7 M5).  Builds run per shard on the host (index construction
+# is offline); the stacked arrays are placed with a NamedSharding so each
+# device holds exactly its shard, and the search is a single shard_map.
+# ---------------------------------------------------------------------------
+
+
+def _pad_to(a: jnp.ndarray, n: int, fill) -> jnp.ndarray:
+    if a.shape[0] == n:
+        return a
+    pad = jnp.full((n - a.shape[0],) + a.shape[1:], fill, a.dtype)
+    return jnp.concatenate([a, pad], axis=0)
+
+
+def _stack_sharded(mesh: Mesh, axis: str, blocks, fill) -> jnp.ndarray:
+    """Stack per-shard host blocks (padded to a common shape) into one
+    (S, ...) array placed shard-per-device on the mesh."""
+    from jax.sharding import NamedSharding
+
+    n = max(b.shape[0] for b in blocks)
+    stacked = jnp.stack([_pad_to(jnp.asarray(b), n, fill) for b in blocks])
+    spec = P(axis, *([None] * (stacked.ndim - 1)))
+    return jax.device_put(stacked, NamedSharding(mesh, spec))
+
+
+class DeviceShardedHNSWIndex:
+    """Row-range-sharded HNSW with device-resident shards.
+
+    Each shard's graph arrays (values, nbr0, nbr_up, up_slot, elem_rows)
+    live on its own device; ``search`` runs ONE jitted shard_map: every
+    device executes the full Algorithm 5 mono-jit against its local graph
+    with the replicated query batch, converts element rows to global row
+    ids, and the per-shard top-k candidates merge with an all_gather over
+    ICI — the device-placed replacement for the round-1 host fan-out loop
+    (the Citus-sharded deployment pattern, README.md:758-760)."""
+
+    def __init__(self, mesh: Mesh, table, metric: Metric, axis: str = "shard",
+                 m: int = 16, ef_construction: int = 64, seed: int = 0, **kw):
+        from ..index.hnsw import HEAPTIDS, HNSWIndex
+        from ..store.table import DenseTable
+        from .mesh import shard_rows
+
+        self.mesh = mesh
+        self.axis = axis
+        self.metric = metric
+        self.m = m
+        self.heaptids = HEAPTIDS
+        n_shards = mesh.shape[axis]
+        self.table = table
+        n = table.count
+        data = np.asarray(table.data[:n])
+        valid = np.asarray(table.valid[:n])
+        shards, offsets = [], []
+        for lo, hi in shard_rows(n, n_shards):
+            sub = DenseTable(table.dim, dtype=table.dtype,
+                             capacity=max(hi - lo, 8))
+            rows = sub.insert(data[lo:hi])
+            if not valid[lo:hi].all():
+                sub.delete(rows[~valid[lo:hi]])
+            shards.append(HNSWIndex(sub, metric, m=m,
+                                    ef_construction=ef_construction,
+                                    seed=seed, **kw))
+            offsets.append(lo)
+        self.kind = shards[0].kind
+        self._l_unroll = shards[0]._l_unroll
+        for s in shards:
+            s._sync_device_meta()
+        # stack + place per-shard arrays; elem_rows globalized with offsets
+        self.values = tuple(
+            _stack_sharded(mesh, axis, [s.values[j] for s in shards], 0)
+            for j in range(len(shards[0].values))
+        )
+        self.nbr0 = _stack_sharded(mesh, axis, [s.nbr0 for s in shards], -1)
+        self.nbr_up = _stack_sharded(mesh, axis, [s.nbr_up for s in shards], -1)
+        self.up_slot = _stack_sharded(
+            mesh, axis, [s._up_slot_dev for s in shards], -1)
+        glob_rows = []
+        for s, off in zip(shards, offsets):
+            er = s.elem_rows.astype(np.int32)
+            glob_rows.append(np.where(er >= 0, er + off, -1))
+        self.elem_rows = _stack_sharded(mesh, axis, glob_rows, -1)
+        self.entry = _stack_sharded(
+            mesh, axis, [np.asarray([s.entry], np.int32) for s in shards], -1
+        )[:, 0]
+        self.entry_level = _stack_sharded(
+            mesh, axis,
+            [np.asarray([s.entry_level], np.int32) for s in shards], -1
+        )[:, 0]
+        self._search_cache = {}
+
+    def _make_search(self, ef: int, k: int, expand: int):
+        from ..index import hnsw_kernels as K
+
+        axis = self.axis
+        kind, metric, m = self.kind, self.metric, self.m
+        l_unroll, heaptids = self._l_unroll, self.heaptids
+        n_val = len(self.values)
+
+        def shard_fn(*args):
+            vals = tuple(a[0] for a in args[:n_val])
+            (nbr0_s, nbr_up_s, up_slot_s, elem_rows_s, entry_s, entlv_s,
+             row_valid, fmask, qs) = args[n_val:]
+            d, r, _ = K.query_search(
+                kind, metric, vals, nbr0_s[0], nbr_up_s[0], up_slot_s[0],
+                elem_rows_s[0], row_valid, fmask, qs, entry_s[0], entlv_s[0],
+                ef=ef, m=m, l_unroll=l_unroll, k=k, heaptids=heaptids,
+                expand=expand,
+            )
+            all_d = jax.lax.all_gather(d, axis, axis=0)  # (S, Q, k)
+            all_i = jax.lax.all_gather(r, axis, axis=0)
+            qn = qs.shape[0]
+            all_d = jnp.moveaxis(all_d, 0, 1).reshape(qn, -1)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(qn, -1)
+            md, mi = topk_smallest(all_d, k, ids=all_i)
+            return md, jnp.where(jnp.isinf(md), -1, mi)
+
+        sharded = [P(axis, *([None] * (v.ndim - 1))) for v in self.values]
+        in_specs = tuple(sharded) + (
+            P(axis, None), P(axis, None, None), P(axis, None),
+            P(axis, None), P(axis), P(axis),
+            P(None), P(None), P(None, None),
+        )
+        fn = jax.shard_map(
+            shard_fn, mesh=self.mesh, in_specs=in_specs,
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,  # all_gather merge replicates the outputs
+        )
+        return jax.jit(fn)
+
+    def search(self, qs, k: int, ef_search: Optional[int] = None,
+               expand: int = 1):
+        from ..config import config
+        from ..index.flat import _coerce_dense_queries
+
+        ef = int(config.validate("hnsw.ef_search", ef_search)
+                 if ef_search is not None else config.get("hnsw.ef_search"))
+        qs = _coerce_dense_queries(qs, self.table.dim)
+        if self.metric is Metric.COSINE:
+            norms = jnp.sqrt(jnp.sum(qs * qs, axis=1, keepdims=True))
+            qs = qs / jnp.maximum(norms, 1e-30)
+        key = (ef, k, expand)
+        if key not in self._search_cache:
+            self._search_cache[key] = self._make_search(ef, k, expand)
+        row_valid = self.table.valid
+        fmask = jnp.ones(self.table.capacity, jnp.bool_)
+        d, r = self._search_cache[key](
+            *self.values, self.nbr0, self.nbr_up, self.up_slot,
+            self.elem_rows, self.entry, self.entry_level,
+            row_valid, fmask, qs,
+        )
+        if self.metric is Metric.L2:
+            d = jnp.where(jnp.isinf(d), d, jnp.sqrt(jnp.maximum(d, 0.0)))
+        elif self.metric is Metric.COSINE:
+            d = jnp.where(jnp.isinf(d), d, 1.0 + d)
+        return np.asarray(d), np.asarray(r)
+
+
+class DeviceShardedIVFFlatIndex:
+    """Row-range-sharded IVFFlat with device-resident shards: per-device
+    centroids + posting matrices + vector blocks, one jitted shard_map per
+    query batch (probe order → candidate gather → score → local top-k →
+    all_gather merge).  Centers are trained per shard (the Citus pattern:
+    every shard runs its own CREATE INDEX)."""
+
+    def __init__(self, mesh: Mesh, table, metric: Metric, axis: str = "shard",
+                 lists: int = 100, seed: int = 0, **kw):
+        from ..index.ivfflat import IVFFlatIndex
+        from ..store.table import DenseTable
+        from .mesh import shard_rows
+
+        self.mesh = mesh
+        self.axis = axis
+        self.metric = metric
+        self.lists = lists
+        self.table = table
+        n_shards = mesh.shape[axis]
+        n = table.count
+        data = np.asarray(table.data[:n])
+        valid = np.asarray(table.valid[:n])
+        shards, offsets, blocks = [], [], []
+        for lo, hi in shard_rows(n, n_shards):
+            sub = DenseTable(table.dim, dtype=table.dtype,
+                             capacity=max(hi - lo, 8))
+            rows = sub.insert(data[lo:hi])
+            if not valid[lo:hi].all():
+                sub.delete(rows[~valid[lo:hi]])
+            shards.append(IVFFlatIndex(sub, metric, lists=lists, seed=seed, **kw))
+            offsets.append(lo)
+            blocks.append(np.asarray(sub.data))
+        self.centroids = _stack_sharded(
+            mesh, axis, [s.centroids for s in shards], 0)
+        self.postings = _stack_sharded(
+            mesh, axis, [np.asarray(s.postings) for s in shards], -1)
+        self.data = _stack_sharded(mesh, axis, blocks, 0)
+        self.offsets = _stack_sharded(
+            mesh, axis, [np.asarray([o], np.int32) for o in offsets], 0
+        )[:, 0]
+        self._normalized = metric is Metric.COSINE
+        self._search_cache = {}
+
+    def _make_search(self, probes: int, k: int):
+        axis = self.axis
+        metric = self.metric
+        normalized = self._normalized
+
+        def shard_fn(cent_s, post_s, data_s, off_s, row_valid, fmask, qs):
+            cent, post, data, off = cent_s[0], post_s[0], data_s[0], off_s[0]
+            # probe order (GetScanLists): distance to local centers
+            ip = jax.lax.dot_general(
+                qs, cent, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=D.dot_precision(),
+            )
+            if metric in (Metric.IP, Metric.COSINE):
+                cscore = -ip
+            else:
+                c_sq = jnp.sum(cent * cent, axis=1)
+                cscore = c_sq[None, :] - 2.0 * ip
+            _, order = jax.lax.top_k(-cscore, probes)  # (Q, P)
+            cand = post[order].reshape(qs.shape[0], -1)  # (Q, C) local ids
+            gcand = jnp.where(cand >= 0, cand + off, -1)
+            safe_g = jnp.maximum(gcand, 0)
+            ok = (cand >= 0) & row_valid[safe_g] & fmask[safe_g]
+            v = data[jnp.maximum(cand, 0)].astype(jnp.float32)  # (Q, C, Dm)
+            if normalized:
+                nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+                v = v / jnp.maximum(nrm, 1e-30)
+            vip = jax.lax.dot_general(
+                qs, v, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=D.dot_precision(),
+            )
+            if metric is Metric.L2:
+                vsq = jnp.sum(v * v, axis=-1)
+                qsq = jnp.sum(qs * qs, axis=-1)[:, None]
+                s = jnp.maximum(qsq - 2.0 * vip + vsq, 0.0)
+            else:
+                s = -vip
+            s = jnp.where(ok, s, jnp.inf)
+            d, i = topk_smallest(s, k, ids=gcand)
+            i = jnp.where(jnp.isinf(d), -1, i)
+            all_d = jax.lax.all_gather(d, axis, axis=0)
+            all_i = jax.lax.all_gather(i, axis, axis=0)
+            qn = qs.shape[0]
+            all_d = jnp.moveaxis(all_d, 0, 1).reshape(qn, -1)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(qn, -1)
+            md, mi = topk_smallest(all_d, k, ids=all_i)
+            return md, jnp.where(jnp.isinf(md), -1, mi)
+
+        fn = jax.shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(axis, None, None), P(axis, None, None),
+                      P(axis, None, None), P(axis),
+                      P(None), P(None), P(None, None)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def search(self, qs, k: int, probes: Optional[int] = None):
+        from ..config import config
+        from ..index.flat import _coerce_dense_queries
+
+        probes = int(config.validate("ivfflat.probes", probes)
+                     if probes is not None else config.get("ivfflat.probes"))
+        probes = min(probes, self.lists)
+        qs = _coerce_dense_queries(qs, self.table.dim)
+        if self._normalized:
+            norms = jnp.sqrt(jnp.sum(qs * qs, axis=1, keepdims=True))
+            qs = qs / jnp.maximum(norms, 1e-30)
+        key = (probes, k)
+        if key not in self._search_cache:
+            self._search_cache[key] = self._make_search(probes, k)
+        row_valid = self.table.valid
+        fmask = jnp.ones(self.table.capacity, jnp.bool_)
+        d, r = self._search_cache[key](
+            self.centroids, self.postings, self.data, self.offsets,
+            row_valid, fmask, qs,
+        )
+        if self.metric is Metric.L2:
+            d = jnp.where(jnp.isinf(d), d, jnp.sqrt(jnp.maximum(d, 0.0)))
+        elif self.metric is Metric.COSINE:
+            d = jnp.where(jnp.isinf(d), d, 1.0 + d)
+        return np.asarray(d), np.asarray(r)

@@ -91,3 +91,55 @@ def test_sharded_hnsw(rng):
     _, e_i = FlatIndex(table, Metric.L2).search(q, 10)
     hits = sum(len(set(map(int, a)) & set(map(int, e))) for a, e in zip(r, e_i))
     assert hits / (len(q) * 10) >= 0.9
+
+
+def test_device_sharded_hnsw(mesh, rng):
+    """Device-placed sharded HNSW: per-device graphs, one jitted shard_map
+    fan-out, all_gather top-k merge — results match single-chip recall."""
+    from pgvector_tpu.parallel import DeviceShardedHNSWIndex
+
+    db = rng.normal(size=(1600, 12)).astype(np.float32)
+    q = rng.normal(size=(8, 12)).astype(np.float32)
+    table = DenseTable(12)
+    table.insert(db)
+    idx = DeviceShardedHNSWIndex(mesh, table, Metric.L2, m=8,
+                                 ef_construction=32, wave_size=256,
+                                 dedup=False, seed=1)
+    d, r = idx.search(q, 10, ef_search=60)
+    _, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    hits = sum(len(set(map(int, a)) & set(map(int, e))) for a, e in zip(r, e_i))
+    assert hits / (len(q) * 10) >= 0.9
+    # distances are the user-facing metric values, sorted ascending
+    for row in d:
+        f = row[np.isfinite(row)]
+        assert np.all(np.diff(f) >= 0)
+
+
+def test_device_sharded_ivf(mesh, rng):
+    from pgvector_tpu.parallel import DeviceShardedIVFFlatIndex
+
+    db = rng.normal(size=(2000, 8)).astype(np.float32)
+    q = rng.normal(size=(5, 8)).astype(np.float32)
+    table = DenseTable(8)
+    table.insert(db)
+    idx = DeviceShardedIVFFlatIndex(mesh, table, Metric.L2, lists=8, seed=1)
+    d, i = idx.search(q, 10, probes=8)  # full probes per shard → exhaustive
+    e_d, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    assert np.allclose(np.sort(d, axis=1), np.sort(e_d, axis=1),
+                       rtol=1e-3, atol=1e-3)
+
+
+def test_ivf_build_with_mesh_trains_sharded(mesh, rng):
+    """IVFFlatIndex(mesh=...) routes k-means through the sample-sharded
+    Lloyd steps (psum over the mesh) and still meets the recall bar."""
+    from pgvector_tpu.index.ivfflat import IVFFlatIndex
+
+    db = rng.normal(size=(2000, 8)).astype(np.float32)
+    q = rng.normal(size=(5, 8)).astype(np.float32)
+    table = DenseTable(8)
+    table.insert(db)
+    idx = IVFFlatIndex(table, Metric.L2, lists=8, seed=1, mesh=mesh)
+    d, i = idx.search(q, 10, probes=8)
+    e_d, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    assert np.allclose(np.sort(d, axis=1), np.sort(e_d, axis=1),
+                       rtol=1e-3, atol=1e-3)
