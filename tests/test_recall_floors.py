@@ -53,3 +53,41 @@ def test_ivfflat_build_recall_floor(data):
     idx = IVFFlatIndex(table, Metric.L2, lists=50, seed=3)
     _, r = idx.search(q, K, probes=50)  # all lists probed, like SET probes=lists
     assert recall(r, e_i) >= 0.99
+
+
+# -- exact reference contract: 10k rows, k=20, DEFAULT ef_search=40, floors
+# 0.99 (L2/cos/L1) / 0.97 (IP) — test/t/012_hnsw_vector_build_recall.pl:94.
+# Slow-marked: one full 10k wave build per metric on the CPU mesh.
+
+@pytest.mark.slow
+@pytest.mark.parametrize("metric,floor", [
+    (Metric.L2, 0.99),
+    (Metric.COSINE, 0.99),
+    (Metric.L1, 0.99),
+    (Metric.IP, 0.97),
+])
+def test_hnsw_build_recall_reference_contract(metric, floor):
+    rng = np.random.default_rng(12)
+    db = (rng.random((10000, 3)) * 10).astype(np.float32)
+    q = (rng.random((NQ, 3)) * 10).astype(np.float32)
+    table = DenseTable(3)
+    table.insert(db)
+    _, e_i = FlatIndex(table, metric).search(q, K)
+    idx = HNSWIndex(table, metric, m=16, ef_construction=64,
+                    wave_size=1024, dedup=False)
+    _, r = idx.search(q, K)  # DEFAULT hnsw.ef_search = 40
+    assert recall(r, e_i) >= floor
+
+
+@pytest.mark.slow
+def test_ivfflat_build_recall_reference_contract():
+    """test/t/003 shape: 10k rows, lists=100, probes up to lists."""
+    rng = np.random.default_rng(12)
+    db = (rng.random((10000, 3)) * 10).astype(np.float32)
+    q = (rng.random((NQ, 3)) * 10).astype(np.float32)
+    table = DenseTable(3)
+    table.insert(db)
+    _, e_i = FlatIndex(table, Metric.L2).search(q, K)
+    idx = IVFFlatIndex(table, Metric.L2, lists=100, seed=3)
+    _, r = idx.search(q, K, probes=100)
+    assert recall(r, e_i) >= 0.99
