@@ -95,6 +95,7 @@ class HNSWIndex:
         dedup: bool = True,
         notice_hook=None,
         progress=None,
+        capacity: Optional[int] = None,
     ):
         if not MIN_M <= m <= MAX_M:
             raise DataException(f'value {m} out of bounds for option "m"')
@@ -165,7 +166,10 @@ class HNSWIndex:
         #: to this (the reference clamps to a page-size bound, hnsw.h:133).
         #: 4 covers graphs to ~m^5 elements; raise for larger corpora.
         self._l_unroll = int(__import__("os").environ.get("PGVECTOR_TPU_L_UNROLL", 4))
-        self._init_graph(capacity=1024)
+        # preallocating capacity avoids growth recompiles (every capacity
+        # doubling gives the wave/query kernels new array shapes — ~10
+        # extra compiles on a 1M build) and the attendant array copies
+        self._init_graph(capacity=_round_pow2(max(capacity or 0, 1024)))
         if build:
             self.build()
 
@@ -185,6 +189,11 @@ class HNSWIndex:
             )
         self.nbr0 = jnp.full((capacity, 2 * self.m), -1, jnp.int32)
         self.nbr_up = jnp.full((self.cap_u, L_MAX, self.m), -1, jnp.int32)
+        # sticky heuristic-kept flags per neighbor slot (the reference's
+        # cached ``closer`` bits, hnswutils.c:1094-1131) — protected from
+        # backlink turnover; load-bearing for IP graph connectivity
+        self.kept0 = jnp.zeros((capacity, 2 * self.m), jnp.bool_)
+        self.kept_up = jnp.zeros((self.cap_u, L_MAX, self.m), jnp.bool_)
         self.up_slot = np.full(capacity, -1, np.int32)
         self.levels = np.full(capacity, -1, np.int32)
         self.elem_rows = np.full((capacity, HEAPTIDS), -1, np.int32)
@@ -288,6 +297,18 @@ class HNSWIndex:
             out = self.nbr_up[jnp.maximum(slot, 0), level - 1]
             out = jnp.where(slot[:, None] >= 0, out, -1)
         return jnp.where(elems[:, None] >= 0, out, -1)
+
+    def _kept_of_level(self, elems: jnp.ndarray, level: int) -> jnp.ndarray:
+        """Gather the sticky kept flags matching _neighbors_of_level."""
+        safe = jnp.maximum(elems, 0)
+        if level == 0:
+            out = self.kept0[safe]
+        else:
+            self._sync_device_meta()
+            slot = self._up_slot_dev[safe]
+            out = self.kept_up[jnp.maximum(slot, 0), level - 1]
+            out = jnp.where(slot[:, None] >= 0, out, False)
+        return jnp.where(elems[:, None] >= 0, out, False)
 
     def _scorer(self):
         return K.make_scorer(self.kind, self.metric, self.values)
@@ -468,6 +489,10 @@ class HNSWIndex:
             self.nbr_up = jnp.concatenate(
                 [self.nbr_up, jnp.full((new_cap - self.cap_u, L_MAX, self.m), -1, jnp.int32)]
             )
+            self.kept_up = jnp.concatenate(
+                [self.kept_up,
+                 jnp.zeros((new_cap - self.cap_u, L_MAX, self.m), jnp.bool_)]
+            )
             self.cap_u = new_cap
         out = np.arange(self.n_upper, self.n_upper + n, dtype=np.int32)
         self.n_upper += n
@@ -493,6 +518,7 @@ class HNSWIndex:
         else:
             self.values = (grow_val(self.values[0], 0),)
         self.nbr0 = grow_val(self.nbr0, -1)
+        self.kept0 = grow_val(self.kept0, False)
         self.up_slot = np.concatenate([self.up_slot, np.full(pad, -1, np.int32)])
         self.levels = np.concatenate([self.levels, np.full(pad, -1, np.int32)])
         self.elem_rows = np.concatenate(
@@ -508,9 +534,11 @@ class HNSWIndex:
         )
 
     # ------------------------------------------------------------ wave insert
-    def _search_wave(self, elems: np.ndarray, lv: np.ndarray, exclude_self: bool):
+    def _search_wave_raw(self, elems: np.ndarray, lv: np.ndarray,
+                         exclude_self: bool):
         """Batched Algorithm 1 via the jitted wave_search kernel.  Wave
-        sizes are padded to powers of two so jit caches stay small."""
+        sizes are padded to powers of two so jit caches stay small.
+        Returns the stacked padded per-level pools (L+1, nq_pad, ef)."""
         self._sync_device_meta()
         nq = len(elems)
         # pad every wave to the fixed wave_size so one compiled shape serves
@@ -531,10 +559,47 @@ class HNSWIndex:
             l_unroll=self._l_unroll, exclude_self=exclude_self,
             expand=self.beam_expand,
         )
+        return out_d, out_i, nq, nq_pad
+
+    def _search_wave(self, elems: np.ndarray, lv: np.ndarray, exclude_self: bool):
+        out_d, out_i, nq, _ = self._search_wave_raw(elems, lv, exclude_self)
         pools = {}
-        for lc in range(min(self.entry_level, int(lv.max())) , -1, -1):
+        for lc in range(min(self.entry_level, int(lv.max())), -1, -1):
             pools[lc] = (out_d[lc, :nq], out_i[lc, :nq])
         return pools
+
+    def _insert_wave_fused(self, elems: np.ndarray, lv: np.ndarray,
+                           exclude_self: bool) -> None:
+        """Search + connect with the fused per-level connect kernel
+        (K.connect_level): ~3 device dispatches per wave instead of dozens
+        of host round-trips (each a tunnel-latency stall on the remote-TPU
+        image — BENCH_NOTES.md)."""
+        with timers.phase("hnsw.wave.search"):
+            out_d, out_i, nq, nq_pad = self._search_wave_raw(
+                elems, lv, exclude_self)
+        with timers.phase("hnsw.wave.connect"):
+            e_conn = jnp.asarray(np.concatenate(
+                [elems, np.full(nq_pad - nq, -1, elems.dtype)]
+            ).astype(np.int32))
+            lv_conn = np.concatenate(
+                [lv, np.full(nq_pad - nq, -1, lv.dtype)])
+            mi = min(self.m, nq_pad)
+            top = min(self.entry_level, int(lv.max()))
+            for lc in range(top, -1, -1):
+                if not (lv >= lc).any():
+                    continue
+                lm = 2 * self.m if lc == 0 else self.m
+                chunk = min(1024, _round_pow2(nq_pad * lm))
+                (self.nbr0, self.nbr_up, self.kept0, self.kept_up) = \
+                    K.connect_level(
+                        self.kind, self.metric, self.values,
+                        self.nbr0, self.nbr_up, self.kept0, self.kept_up,
+                        self._up_slot_dev, e_conn,
+                        jnp.asarray(lv_conn >= lc), jnp.int32(lc),
+                        out_d[lc], out_i[lc],
+                        level0=(lc == 0), m=self.m, mi=mi, smax=lm,
+                        chunk=chunk,
+                    )
 
     def _insert_wave(self, elems: np.ndarray, lv: np.ndarray) -> None:
         """One wave: batched search + neighbor selection + connection
@@ -547,8 +612,13 @@ class HNSWIndex:
             elems, lv = elems[1:], lv[1:]
             if len(elems) == 0:
                 return
-        pools = self._search_wave(elems, lv, exclude_self=False)
-        self._connect_from_pools(elems, lv, pools)
+        if self.backlink_mode == "incremental":
+            with timers.phase("hnsw.wave.search"):
+                pools = self._search_wave(elems, lv, exclude_self=False)
+            with timers.phase("hnsw.wave.connect"):
+                self._connect_from_pools(elems, lv, pools)
+        else:
+            self._insert_wave_fused(elems, lv, exclude_self=False)
         # entry point update (the entryLock handshake, hnswbuild.c:437-480)
         wave_max = int(lv.max()) if len(lv) else -1
         if wave_max > self.entry_level:
@@ -590,11 +660,17 @@ class HNSWIndex:
                     pd_c = jnp.where(mask[:, None], pd_c, jnp.inf)
                 base = np.concatenate(
                     [elems[chunk], np.full(pad, -1, elems.dtype)])
-                sel_elems = self._select_for(
-                    jnp.asarray(base.astype(np.int32)), pd_c, pi_c, lm
-                )[: len(chunk)]
-                self._write_own_lists(elems[chunk], lc, sel_elems)
-                self._apply_backlinks(elems[chunk], lc, np.asarray(sel_elems), lm)
+                with timers.phase("hnsw.wave.select"):
+                    sel_elems, sel_kept = self._select_for(
+                        jnp.asarray(base.astype(np.int32)), pd_c, pi_c, lm
+                    )
+                    sel_elems = sel_elems[: len(chunk)]
+                    sel_kept = sel_kept[: len(chunk)]
+                    self._write_own_lists(elems[chunk], lc, sel_elems, sel_kept)
+                with timers.phase("hnsw.wave.sel_sync"):
+                    sel_host = np.asarray(sel_elems)
+                with timers.phase("hnsw.wave.backlink"):
+                    self._apply_backlinks(elems[chunk], lc, sel_host, lm)
 
     def _select_for(self, base_elems, pool_d, pool_i, lm: int) -> jnp.ndarray:
         """SelectNeighbors over each base element's candidate pool."""
@@ -602,13 +678,16 @@ class HNSWIndex:
             self.kind, self.metric, self.values, base_elems, pool_d, pool_i, lm
         )
 
-    def _write_own_lists(self, elems: np.ndarray, level: int, sel: jnp.ndarray) -> None:
+    def _write_own_lists(self, elems: np.ndarray, level: int,
+                         sel: jnp.ndarray, kept: jnp.ndarray) -> None:
         e = jnp.asarray(elems.astype(np.int32))
         if level == 0:
             self.nbr0 = self.nbr0.at[e].set(sel)
+            self.kept0 = self.kept0.at[e].set(kept)
         else:
             slots = jnp.asarray(self.up_slot[elems])
             self.nbr_up = self.nbr_up.at[slots, level - 1].set(sel)
+            self.kept_up = self.kept_up.at[slots, level - 1].set(kept)
 
     def _apply_backlinks(
         self, src_elems: np.ndarray, level: int, sel: np.ndarray, lm: int
@@ -656,19 +735,23 @@ class HNSWIndex:
             t_full = np.concatenate([t_chunk, np.full(pad, -1, np.int32)])
             t_dev = jnp.asarray(t_full)
             old = self._neighbors_of_level(t_dev, level)  # (T, lm)
+            old_kept = self._kept_of_level(t_dev, level)
             merge = (K.merge_backlinks if self.backlink_mode == "incremental"
                      else K.merge_backlinks_wholesale)
-            new_lists = merge(
-                self.kind, self.metric, self.values, old, jnp.asarray(new_src),
-                t_dev, lm,
+            new_lists, new_kept = merge(
+                self.kind, self.metric, self.values, old, old_kept,
+                jnp.asarray(new_src), t_dev, lm,
             )
             real = jnp.asarray(t_chunk)
             new_real = new_lists[: len(t_chunk)]
+            kept_real = new_kept[: len(t_chunk)]
             if level == 0:
                 self.nbr0 = self.nbr0.at[real].set(new_real)
+                self.kept0 = self.kept0.at[real].set(kept_real)
             else:
                 slots = jnp.asarray(self.up_slot[t_chunk])
                 self.nbr_up = self.nbr_up.at[slots, level - 1].set(new_real)
+                self.kept_up = self.kept_up.at[slots, level - 1].set(kept_real)
 
     # ------------------------------------------------------------------ search
     def search(
@@ -865,6 +948,8 @@ class HNSWIndex:
                               -1, self.nbr0)
         self.nbr_up = jnp.where(dead_dev[jnp.maximum(self.nbr_up, 0)] & (self.nbr_up >= 0),
                                 -1, self.nbr_up)
+        self.kept0 = self.kept0 & (self.nbr0 >= 0)
+        self.kept_up = self.kept_up & (self.nbr_up >= 0)
         # 2c. re-link affected elements: NeedsUpdated (hnswvacuum.c:178-220)
         # = any layer's list referenced a deleting element, or the level-0
         # list is not full (:211-215).  _repair_elements re-searches at the
@@ -904,9 +989,12 @@ class HNSWIndex:
         else:
             self.values = (self.values[0].at[dele].set(0),)
         self.nbr0 = self.nbr0.at[dele].set(-1)
+        self.kept0 = self.kept0.at[dele].set(False)
         up = [self.up_slot[e] for e in deleting if self.up_slot[e] >= 0]
         if up:
-            self.nbr_up = self.nbr_up.at[jnp.asarray(np.asarray(up, np.int32))].set(-1)
+            up_dev = jnp.asarray(np.asarray(up, np.int32))
+            self.nbr_up = self.nbr_up.at[up_dev].set(-1)
+            self.kept_up = self.kept_up.at[up_dev].set(False)
         if self.dedup:
             self._dup_index = {
                 key: e for key, e in self._dup_index.items() if e not in deleting_set
@@ -927,8 +1015,11 @@ class HNSWIndex:
         hnswutils.c:1278): self-links excluded from candidate pools."""
         if self.entry < 0 or len(elems) == 0:
             return
-        pools = self._search_wave(elems, lv, exclude_self=True)
-        self._connect_from_pools(elems, lv, pools)
+        if self.backlink_mode == "incremental":
+            pools = self._search_wave(elems, lv, exclude_self=True)
+            self._connect_from_pools(elems, lv, pools)
+        else:
+            self._insert_wave_fused(elems, lv, exclude_self=True)
 
     # ------------------------------------------------------------- statistics
     @property

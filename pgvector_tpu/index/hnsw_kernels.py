@@ -501,35 +501,60 @@ def _row_gather(mat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(hit, mat[:, None, :], 0), axis=2)
 
 
-def select_neighbors(base_d, pair_d, valid, lm: int) -> jnp.ndarray:
-    """Returns (lm,) selected candidate *positions* (-1 padded), kept-first
-    then closest-pruned backfill (keepPrunedConnections,
-    hnswutils.c:1133-1156)."""
+def select_neighbors(base_d, pair_d, valid, lm: int, forced=None):
+    """Algorithm 4: returns ((lm,) selected candidate *positions*
+    (-1 padded), (lm,) kept flags) — heuristic-kept first, then
+    closest-pruned backfill (keepPrunedConnections, hnswutils.c:1133-1156).
+
+    ``forced`` marks candidates whose kept status is STICKY: they seed the
+    kept set and prune via pair distances before the loop runs.  This is
+    the reference's ``closer`` caching (hnswutils.c:1094-1131 reuses each
+    incumbent's cached closer flag across update selects): once a member
+    is admitted as heuristic-kept it stays protected, and later updates
+    only compete for the backfill slots.  Without it, re-selecting a list
+    from scratch under a non-metric ordering (inner product) lets a few
+    global high-norm hubs dominate every list — measured on 10k uniform
+    3-d IP data: 92% of elements become unreachable and build recall caps
+    at 0.86 vs the reference's 0.97 floor."""
     c = base_d.shape[0]
     big_d = jnp.where(valid, base_d, jnp.inf)
+    if forced is None:
+        forced = jnp.zeros((c,), jnp.bool_)
+    forced = forced & valid & jnp.isfinite(big_d)
     order = jnp.argsort(big_d)  # closest-first processing
+    # sticky members skip the min-pair re-check (their kept status is
+    # cached), but they still compete for the lm slots in distance order —
+    # a far sticky member CAN rotate out when closer candidates fill the
+    # cap first (the reference's r-cap applies in pop order regardless of
+    # cached flags, hnswutils.c:1088-1156).  This distance-ordered cap is
+    # what prevents early lists from freezing solid.
 
     def body(t, state):
         kept_count, kept, min_pair = state
         i = order[t]
         ok = (
-            (big_d[i] < min_pair[i])
+            (forced[i] | (big_d[i] < min_pair[i]))
             & (kept_count < lm)
             & jnp.isfinite(big_d[i])
         )
-        kept = kept.at[i].set(kept[i] | ok)
+        kept = kept.at[i].set(ok)
         min_pair = jnp.where(ok, jnp.minimum(min_pair, pair_d[:, i]), min_pair)
         return kept_count + ok.astype(jnp.int32), kept, min_pair
 
     kept_count, kept, _ = jax.lax.fori_loop(
-        0, c, body, (jnp.int32(0), jnp.zeros((c,), jnp.bool_), jnp.full((c,), jnp.inf))
+        0, c, body,
+        (jnp.int32(0), jnp.zeros((c,), jnp.bool_), jnp.full((c,), jnp.inf)),
     )
     rank = jnp.where(kept, big_d, jnp.where(jnp.isfinite(big_d), big_d + BIG, jnp.inf))
     neg, pos = jax.lax.top_k(-rank, lm)
-    return jnp.where(jnp.isinf(-neg), -1, pos)
+    pos = jnp.where(jnp.isinf(-neg), -1, pos)
+    kept_sel = kept[jnp.maximum(pos, 0)] & (pos >= 0)
+    return pos, kept_sel
 
 
-select_neighbors_batch = jax.vmap(select_neighbors, in_axes=(0, 0, 0, None))
+select_neighbors_batch = jax.vmap(
+    select_neighbors, in_axes=(0, 0, 0, None, 0)
+)
 
 
 def _pad_lanes(pool_d, pool_i, mult: int = 128):
@@ -616,77 +641,266 @@ def _pairwise_dists(kind: str, metric: Metric, values, elems):
 @functools.partial(jax.jit, static_argnames=("kind", "metric", "lm"))
 def select_connections(kind, metric, values, base_elems, pool_d, pool_i, lm: int):
     """SelectNeighbors over each base element's candidate pool →
-    (Q, lm) neighbor element ids."""
+    ((Q, lm) neighbor element ids, (Q, lm) heuristic-kept flags)."""
     pool_d, pool_i = _pad_lanes(pool_d, pool_i)
     pair = _pairwise_dists(kind, metric, values, pool_i)
-    pos = select_neighbors_batch(pool_d, pair, pool_i >= 0, lm)
+    forced = jnp.zeros(pool_i.shape, jnp.bool_)
+    pos, kept = select_neighbors_batch(pool_d, pair, pool_i >= 0, lm, forced)
     sel = _row_gather(pool_i, jnp.maximum(pos, 0))
-    return jnp.where(pos >= 0, sel, -1)
+    return jnp.where(pos >= 0, sel, -1), kept & (pos >= 0)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "metric", "lm"))
-def merge_backlinks_wholesale(kind, metric, values, old_lists, new_src,
-                              targets, lm: int):
+def _merge_wholesale_core(kind, metric, values, old_lists, old_kept,
+                          new_src, targets, lm: int):
     """One SelectNeighbors over old ∪ new per target — a single select per
-    wave instead of the reference's per-source fold.  ~8× cheaper during
-    builds; combined with intra-wave candidates it matches the incremental
-    variant's recall (validated on the IP and clustered-L2 suites)."""
+    wave instead of the reference's per-source fold (~8× cheaper during
+    builds).  ``old_kept`` marks the incumbents whose heuristic-kept
+    status is sticky (the reference's cached ``closer`` flags,
+    hnswutils.c:1094-1131): they stay admitted, so repeated updates only
+    rotate the backfill slots.  Returns (new lists, new kept flags)."""
     score = make_scorer(kind, metric, values)
     cand = jnp.concatenate([old_lists, new_src], axis=1)
+    forced = jnp.concatenate(
+        [old_kept & (old_lists >= 0),
+         jnp.zeros(new_src.shape, jnp.bool_)], axis=1)
     c = cand.shape[1]
     eq = cand[:, :, None] == cand[:, None, :]
     idx = jnp.arange(c)
     earlier = idx[None, :, None] > idx[None, None, :]
     dup = jnp.any(eq & earlier & (cand[:, :, None] >= 0), axis=2)
     cand = jnp.where(dup, -1, cand)
+    forced = forced & (cand >= 0)
     t_rep = elems_as_queries(kind, values, targets)
     base_d = score(t_rep, cand)
     base_d = jnp.where(targets[:, None] >= 0, base_d, jnp.inf)
     base_d, cand = _pad_lanes(base_d, cand)
+    if forced.shape[1] != cand.shape[1]:
+        forced = jnp.concatenate(
+            [forced, jnp.zeros(
+                (forced.shape[0], cand.shape[1] - forced.shape[1]),
+                jnp.bool_)], axis=1)
     pair = _pairwise_dists(kind, metric, values, cand)
-    pos = select_neighbors_batch(base_d, pair, cand >= 0, lm)
+    pos, kept = select_neighbors_batch(base_d, pair, cand >= 0, lm, forced)
     sel = _row_gather(cand, jnp.maximum(pos, 0))
-    return jnp.where(pos >= 0, sel, -1)
+    return jnp.where(pos >= 0, sel, -1), kept & (pos >= 0)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "metric", "lm"))
-def merge_backlinks(kind, metric, values, old_lists, new_src, targets, lm: int):
+def merge_backlinks_wholesale(kind, metric, values, old_lists, old_kept,
+                              new_src, targets, lm: int):
+    return _merge_wholesale_core(kind, metric, values, old_lists, old_kept,
+                                 new_src, targets, lm)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "metric", "lm"))
+def merge_backlinks(kind, metric, values, old_lists, old_kept, new_src,
+                    targets, lm: int):
     """HnswUpdateConnection batched by target (hnswutils.c:1181-1229),
     with the reference's *incremental* semantics: each new source is folded
-    one at a time — appended while the list has room, else SelectNeighbors
-    over the lm+1 candidates evicts exactly ONE element.
+    one at a time — appended while the list has room, else one select over
+    the lm+1 candidates with the incumbents' sticky kept flags as the
+    forced set (the cached ``closer`` reuse, hnswutils.c:1094-1131), so
+    exactly one unprotected slot turns over per source.
 
-    Returns (T, lm) updated neighbor lists.  The per-source loop unrolls
-    over new_src's (static) width."""
+    Returns ((T, lm) updated lists, (T, lm) kept flags).  The per-source
+    loop unrolls over new_src's (static) width."""
     score = make_scorer(kind, metric, values)
     t_rep = elems_as_queries(kind, values, targets)
     t = old_lists.shape[0]
     rows = jnp.arange(t, dtype=jnp.int32)
     cur = old_lists
+    curk = old_kept & (old_lists >= 0)
     for j in range(new_src.shape[1]):
         s = new_src[:, j]  # (T,)
         skip = (s < 0) | (targets < 0) | jnp.any(cur == s[:, None], axis=1)
         n_valid = jnp.sum((cur >= 0).astype(jnp.int32), axis=1)
-        # append path: put s into the first free slot
+        # append path: put s into the first free slot (flag stays False —
+        # appended members are backfill-class until a select admits them)
         has_free = n_valid < lm
         first_free = jnp.argmax(cur < 0, axis=1)
         appended = cur.at[rows, first_free].set(
             jnp.where(has_free & ~skip, s, cur[rows, first_free])
         )
-        # prune path: select lm of the lm+1 candidates (one eviction)
+        # replace path: select lm of the lm+1 candidates; sticky incumbents
+        # are forced-kept, so the turnover happens in the backfill slots
         cand = jnp.concatenate([cur, s[:, None]], axis=1)  # (T, lm+1)
+        forced = jnp.concatenate(
+            [curk, jnp.zeros((t, 1), jnp.bool_)], axis=1)
         base_d = score(t_rep, cand)
         base_d = jnp.where(targets[:, None] >= 0, base_d, jnp.inf)
         base_d, cand = _pad_lanes(base_d, cand)
+        if forced.shape[1] != cand.shape[1]:
+            forced = jnp.concatenate(
+                [forced, jnp.zeros(
+                    (t, cand.shape[1] - forced.shape[1]), jnp.bool_)], axis=1)
         pair = _pairwise_dists(kind, metric, values, cand)
-        pos = select_neighbors_batch(base_d, pair, cand >= 0, lm)
+        pos, kept = select_neighbors_batch(base_d, pair, cand >= 0, lm, forced)
         sel = _row_gather(cand, jnp.maximum(pos, 0))
         pruned_list = jnp.where(pos >= 0, sel, -1)
+        pruned_kept = kept & (pos >= 0)
         cur = jnp.where(
             skip[:, None], cur,
             jnp.where(has_free[:, None], appended, pruned_list),
         )
-    return cur
+        curk = jnp.where(
+            skip[:, None], curk,
+            jnp.where(has_free[:, None], curk, pruned_kept),
+        )
+    return cur, curk
+
+
+def _group_edges(tgt, src, d, smax: int):
+    """Group an (E,) edge list by target, on device.
+
+    Returns (targets (E,), new_src (E, smax), u_count): row r < u_count of
+    ``new_src`` holds the up-to-``smax`` nearest sources pointing at
+    ``targets[r]`` (rows past u_count are -1).  Sources beyond smax per
+    target are dropped — nearest-first ordering makes the dropped ones the
+    farthest, which the wholesale select would prune anyway.  This is the
+    device replacement for round 1's host np.unique group-by (one sort +
+    segmented scans instead of a device→host sync per wave)."""
+    e = tgt.shape[0]
+    inval = jnp.int32(2**31 - 1)
+    key_t = jnp.where((tgt >= 0) & (src >= 0), tgt, inval)
+    st, sd, ss = jax.lax.sort((key_t, d, src), num_keys=2)
+    valid = st != inval
+    newrun = jnp.concatenate([valid[:1], (st[1:] != st[:-1]) & valid[1:]])
+    run_id = jnp.cumsum(newrun.astype(jnp.int32)) - 1
+    idx = jnp.arange(e, dtype=jnp.int32)
+    start = jax.lax.cummax(jnp.where(newrun, idx, 0))
+    pos = idx - start
+    keep = valid & (pos < smax)
+    new_src = jnp.full((e, smax), -1, jnp.int32).at[
+        jnp.where(keep, run_id, e), jnp.where(keep, pos, 0)
+    ].set(ss, mode="drop")
+    targets = jnp.full((e,), -1, jnp.int32).at[
+        jnp.where(newrun, run_id, e)
+    ].set(st, mode="drop")
+    u_count = jnp.where(jnp.any(valid), run_id[-1] + 1, 0)
+    return targets, new_src, u_count
+
+
+def _intra_block(kind, metric, values, elems, eligible, mi: int):
+    """Top-mi nearest eligible wave-mates per wave member (see
+    intra_wave_candidates) — inline, for use inside connect_level."""
+    d = _pairwise_dists(kind, metric, values, elems[None, :])[0]  # (B, B)
+    b = d.shape[0]
+    eye = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0) == \
+        jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    d = jnp.where(eye | ~eligible[None, :], jnp.inf, d)
+    neg, pos = jax.lax.top_k(-d, mi)
+    ids = jnp.where(jnp.isinf(-neg), -1, elems[pos])
+    ids = jnp.where(eligible[:, None], ids, -1)
+    return jnp.where(ids >= 0, -neg, jnp.inf), ids
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "metric", "level0", "m", "mi", "smax", "chunk"),
+    donate_argnames=("nbr0", "nbr_up", "kept0", "kept_up"),
+)
+def connect_level(kind, metric, values, nbr0, nbr_up, kept0, kept_up,
+                  up_slot, elems, eligible, level, pool_d, pool_i,
+                  level0: bool, m: int, mi: int, smax: int, chunk: int):
+    """One fused connect pass for one level of an insert wave: intra-wave
+    candidates + SelectNeighbors per wave member + own-list writes +
+    device-grouped backlink merges — a SINGLE device dispatch where the
+    round-1 path made dozens of host round-trips per wave (each one a
+    tunnel-latency stall; BENCH_NOTES.md).  ``level`` is traced (one
+    compile serves all upper levels); ``level0`` switches the nbr0/nbr_up
+    write paths.  Graph arrays are donated: updates happen in place.
+
+    Returns (nbr0, nbr_up, kept0, kept_up) updated."""
+    lm = 2 * m if level0 else m
+    # 1. blank ineligible rows, fold intra-wave candidates into the pools
+    pool_d = jnp.where(eligible[:, None], pool_d, jnp.inf)
+    pool_i = jnp.where(eligible[:, None], pool_i, -1)
+    if mi > 0:
+        intra_d, intra_i = _intra_block(kind, metric, values, elems,
+                                        eligible, mi)
+        pool_d = jnp.concatenate([pool_d, intra_d], axis=1)
+        pool_i = jnp.concatenate([pool_i, intra_i], axis=1)
+    # 2. SelectNeighbors over each member's pool (Algorithm 4)
+    pool_d, pool_i = _pad_lanes(pool_d, pool_i)
+    pair = _pairwise_dists(kind, metric, values, pool_i)
+    forced0 = jnp.zeros(pool_i.shape, jnp.bool_)
+    pos, kept = select_neighbors_batch(pool_d, pair, pool_i >= 0, lm, forced0)
+    sel = _row_gather(pool_i, jnp.maximum(pos, 0))
+    sel = jnp.where(pos >= 0, sel, -1)
+    sel_d = jnp.where(pos >= 0, _row_gather(pool_d, jnp.maximum(pos, 0)),
+                      jnp.inf)
+    keptf = kept & (pos >= 0)
+    # 3. write own lists
+    lvl_idx = jnp.maximum(level - 1, 0)
+    if level0:
+        w = jnp.where(eligible, elems, nbr0.shape[0])
+        nbr0 = nbr0.at[w].set(sel, mode="drop")
+        kept0 = kept0.at[w].set(keptf, mode="drop")
+    else:
+        slots = up_slot[jnp.maximum(elems, 0)]
+        okw = eligible & (slots >= 0)
+        wu = jnp.where(okw, slots, nbr_up.shape[0])
+        nbr_up = nbr_up.at[wu, lvl_idx].set(sel, mode="drop")
+        kept_up = kept_up.at[wu, lvl_idx].set(keptf, mode="drop")
+    # 4. backlinks: group (src → tgt) edges by target on device, then merge
+    # chunks of targets with the wholesale select until u_count is covered
+    b = elems.shape[0]
+    tgt = sel.reshape(-1)
+    src = jnp.repeat(jnp.where(eligible, elems, -1), lm)
+    d_e = sel_d.reshape(-1)
+    targets, new_src, u_count = _group_edges(tgt, src, d_e, smax)
+    e_rows = targets.shape[0]
+    pad_rows = (-e_rows) % chunk
+    if pad_rows:
+        targets = jnp.concatenate(
+            [targets, jnp.full((pad_rows,), -1, jnp.int32)])
+        new_src = jnp.concatenate(
+            [new_src, jnp.full((pad_rows, smax), -1, jnp.int32)])
+
+    def cond(state):
+        return state[0] * chunk < u_count
+
+    if level0:
+        def body(state):
+            i, nbr0, kept0 = state
+            t_c = jax.lax.dynamic_slice(targets, (i * chunk,), (chunk,))
+            s_c = jax.lax.dynamic_slice(new_src, (i * chunk, 0),
+                                        (chunk, smax))
+            okc = t_c >= 0
+            old = jnp.where(okc[:, None], nbr0[jnp.maximum(t_c, 0)], -1)
+            oldk = kept0[jnp.maximum(t_c, 0)] & okc[:, None]
+            new_l, new_k = _merge_wholesale_core(
+                kind, metric, values, old, oldk, s_c,
+                jnp.where(okc, t_c, -1), lm)
+            w = jnp.where(okc, t_c, nbr0.shape[0])
+            nbr0 = nbr0.at[w].set(new_l, mode="drop")
+            kept0 = kept0.at[w].set(new_k, mode="drop")
+            return i + 1, nbr0, kept0
+
+        _, nbr0, kept0 = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), nbr0, kept0))
+    else:
+        def body(state):
+            i, nbr_up, kept_up = state
+            t_c = jax.lax.dynamic_slice(targets, (i * chunk,), (chunk,))
+            s_c = jax.lax.dynamic_slice(new_src, (i * chunk, 0),
+                                        (chunk, smax))
+            slots_c = up_slot[jnp.maximum(t_c, 0)]
+            okc = (t_c >= 0) & (slots_c >= 0)
+            old = jnp.where(okc[:, None],
+                            nbr_up[jnp.maximum(slots_c, 0), lvl_idx], -1)
+            oldk = kept_up[jnp.maximum(slots_c, 0), lvl_idx] & okc[:, None]
+            new_l, new_k = _merge_wholesale_core(
+                kind, metric, values, old, oldk, s_c,
+                jnp.where(okc, t_c, -1), lm)
+            wu = jnp.where(okc, slots_c, nbr_up.shape[0])
+            nbr_up = nbr_up.at[wu, lvl_idx].set(new_l, mode="drop")
+            kept_up = kept_up.at[wu, lvl_idx].set(new_k, mode="drop")
+            return i + 1, nbr_up, kept_up
+
+        _, nbr_up, kept_up = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), nbr_up, kept_up))
+    return nbr0, nbr_up, kept0, kept_up
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "metric", "mi"))

@@ -130,6 +130,8 @@ def save_hnsw(idx, path: str) -> None:
     arrays = {
         "nbr0": idx.nbr0[: idx.n_elems],
         "nbr_up": idx.nbr_up[: idx.n_upper],
+        "kept0": idx.kept0[: idx.n_elems],
+        "kept_up": idx.kept_up[: idx.n_upper],
         "up_slot": idx.up_slot[: idx.n_elems],
         "levels": idx.levels[: idx.n_elems],
         "elem_rows": idx.elem_rows[: idx.n_elems],
@@ -168,12 +170,18 @@ def load_hnsw(table, path: str):
         idx.nbr_up = jnp.concatenate(
             [idx.nbr_up,
              jnp.full(idx.nbr_up.shape, -1, jnp.int32)])
+        idx.kept_up = jnp.concatenate(
+            [idx.kept_up, jnp.zeros(idx.kept_up.shape, jnp.bool_)])
         idx.cap_u *= 2
     idx.n_elems, idx.n_upper = n, nu
     idx.entry, idx.entry_level = m["entry"], m["entry_level"]
     idx.free_slots = list(m["free_slots"])
     if n:
         idx.nbr0 = idx.nbr0.at[:n].set(jnp.asarray(_load(path, "nbr0")))
+        try:  # kept flags added in round 2; older checkpoints lack them
+            idx.kept0 = idx.kept0.at[:n].set(jnp.asarray(_load(path, "kept0")))
+        except (FileNotFoundError, KeyError):
+            pass
         idx.up_slot[:n] = _load(path, "up_slot")
         idx.levels[:n] = _load(path, "levels")
         idx.elem_rows[:n] = _load(path, "elem_rows")
@@ -187,6 +195,11 @@ def load_hnsw(table, path: str):
                     idx.row_to_elem[int(r)] = e
     if nu:
         idx.nbr_up = idx.nbr_up.at[:nu].set(jnp.asarray(_load(path, "nbr_up")))
+        try:
+            idx.kept_up = idx.kept_up.at[:nu].set(
+                jnp.asarray(_load(path, "kept_up")))
+        except (FileNotFoundError, KeyError):
+            pass
     if idx.dedup and n:
         host_vals = [np.asarray(v[:n]) for v in idx.values]
         from ..index.hnsw import _dup_keys

@@ -68,8 +68,11 @@ def test_ivfflat_build_recall_floor(data):
 ])
 def test_hnsw_build_recall_reference_contract(metric, floor):
     rng = np.random.default_rng(12)
-    db = (rng.random((10000, 3)) * 10).astype(np.float32)
-    q = (rng.random((NQ, 3)) * 10).astype(np.float32)
+    # exact reference data law: coordinates are random()*random() (product
+    # of two uniforms — mass near 0, sparse tail) and queries are uniform
+    # (test/t/012_hnsw_vector_build_recall.pl:11,63-68)
+    db = (rng.random((10000, 3)) * rng.random((10000, 3))).astype(np.float32)
+    q = rng.random((NQ, 3)).astype(np.float32)
     table = DenseTable(3)
     table.insert(db)
     _, e_i = FlatIndex(table, metric).search(q, K)
@@ -83,11 +86,45 @@ def test_hnsw_build_recall_reference_contract(metric, floor):
 def test_ivfflat_build_recall_reference_contract():
     """test/t/003 shape: 10k rows, lists=100, probes up to lists."""
     rng = np.random.default_rng(12)
-    db = (rng.random((10000, 3)) * 10).astype(np.float32)
-    q = (rng.random((NQ, 3)) * 10).astype(np.float32)
+    db = (rng.random((10000, 3)) * rng.random((10000, 3))).astype(np.float32)
+    q = rng.random((NQ, 3)).astype(np.float32)
     table = DenseTable(3)
     table.insert(db)
     _, e_i = FlatIndex(table, Metric.L2).search(q, K)
     idx = IVFFlatIndex(table, Metric.L2, lists=100, seed=3)
     _, r = idx.search(q, K, probes=100)
     assert recall(r, e_i) >= 0.99
+
+
+@pytest.mark.slow
+def test_halfvec_bf16_vs_f16_recall_high_dim():
+    """Quantify the bf16-default numerics choice for halfvec at GIST-like
+    dimensionality (960-d): HNSW recall over a bf16 table must match an
+    f16 table within noise, and both must clear the reference's halfvec
+    floor (test/t/020 shape).  bf16 (8 mantissa bits) is the TPU-native
+    16-bit storage; f16 (11 bits) is the reference's fp16 — this is the
+    test that the 3 extra bits don't matter for recall at high dim."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    # clustered data (GIST's local structure): isotropic 960-d gaussians
+    # are near-adversarial for ANN (all pairs near-equidistant — both
+    # dtypes cap at ~0.92 there, measured), so use a clustered surrogate
+    # where graph quality, not data geometry, is what the floor tests
+    centers = rng.normal(size=(64, 960)).astype(np.float32) * 2.0
+    db = (centers[rng.integers(0, 64, 4000)]
+          + rng.normal(size=(4000, 960)).astype(np.float32))
+    q = (centers[rng.integers(0, 64, NQ)]
+         + rng.normal(size=(NQ, 960)).astype(np.float32))
+    recs = {}
+    for dtype in (jnp.bfloat16, jnp.float16):
+        table = DenseTable(960, dtype=dtype)
+        table.insert(db)
+        _, e_i = FlatIndex(table, Metric.L2).search(q, K)
+        idx = HNSWIndex(table, Metric.L2, m=16, ef_construction=64,
+                        wave_size=1024, dedup=False)
+        _, r = idx.search(q, K, ef_search=80)
+        recs[str(jnp.dtype(dtype))] = recall(r, e_i)
+    assert recs["bfloat16"] >= 0.95
+    assert recs["float16"] >= 0.95
+    assert abs(recs["bfloat16"] - recs["float16"]) <= 0.03, recs
