@@ -103,28 +103,29 @@ def main():
     gt_s = time.time() - t0
     log(f"bench: exact ground truth {gt_s:.1f}s")
 
-    # build — wave completion times separate steady-state rate from the
-    # one-off compile cost (the driver wants both; VERDICT round 1)
-    wave_marks = []
-    prog = Progress(lambda ph, done, total: wave_marks.append((done, time.time())))
+    # build — build() blocks until the graph is materialized, so build_s
+    # is honest wall-clock including remote compiles.  Steady state is
+    # measured directly: a second, smaller build with every jit variant
+    # already warm (same capacity → identical kernel shapes → zero
+    # compiles), scaled to n.  (The driver wants both; VERDICT round 1.)
+    cap = 1
+    while cap < n:
+        cap *= 2
     t0 = time.time()
     idx = HNSWIndex(table, Metric.L2, m=m, ef_construction=64,
                     wave_size=1024, dedup=False, beam_expand=expand,
-                    capacity=n, progress=prog)
+                    capacity=cap)
     build_s = time.time() - t0
-    marks = [(d, t) for d, t in wave_marks if d > 0]
-    if len(marks) >= 4:
-        # steady state = back half of wave completions (first waves carry
-        # the jit compiles)
-        half = len(marks) // 2
-        d0, t0_ = marks[half - 1]
-        d1, t1_ = marks[-1]
-        steady_rows_s = (d1 - d0) / max(t1_ - t0_, 1e-9)
-        build_steady_s = n / steady_rows_s
-    else:
-        build_steady_s = build_s
-    log(f"bench: hnsw build {build_s:.1f}s total, "
-        f"{build_steady_s:.1f}s steady-state-extrapolated")
+    log(f"bench: hnsw build {build_s:.1f}s total (cold, incl. compiles)")
+    steady_n = min(int(os.environ.get("BENCH_STEADY_N", 204_800)), n)
+    s_table = DenseTable(db.shape[1])
+    s_table.insert(db[:steady_n])
+    t0 = time.time()
+    HNSWIndex(s_table, Metric.L2, m=m, ef_construction=64,
+              wave_size=1024, dedup=False, beam_expand=expand, capacity=cap)
+    steady_rate = steady_n / max(time.time() - t0, 1e-9)
+    build_steady_s = n / steady_rate
+    log(f"bench: steady {steady_rate:.0f} rows/s → {build_steady_s:.1f}s at n")
 
     results = []
     for ef in ef_sweep:

@@ -324,6 +324,11 @@ class HNSWIndex:
         self.progress.set_phase("loading tuples", len(live))
         with timers.phase("hnsw.build"):
             self._insert_rows(live, initial_build=True)
+            # the fused wave loop has no host syncs — waves pipeline
+            # asynchronously through the dispatch queue.  Block here so
+            # build() returning means the graph is actually materialized
+            # (and so wall-clock timings of build are honest).
+            jax.block_until_ready((self.nbr0, self.nbr_up))
 
     def insert(self, rows) -> None:
         """aminsert analogue (hnswinsert.c:695-743) for a batch of new rows."""
@@ -557,7 +562,7 @@ class HNSWIndex:
             jnp.int32(self.entry), jnp.int32(self.entry_level),
             ef=self.ef_construction, m=self.m,
             l_unroll=self._l_unroll, exclude_self=exclude_self,
-            expand=self.beam_expand,
+            expand=self.beam_expand, vmode=K.visited_mode(),
         )
         return out_d, out_i, nq, nq_pad
 
@@ -807,6 +812,7 @@ class HNSWIndex:
             jnp.int32(self.entry_level),
             ef=ef, m=self.m, l_unroll=self._l_unroll, k=k,
             heaptids=HEAPTIDS, expand=self.beam_expand,
+            vmode=K.visited_mode(),
         )
         #: layer-0 hop count of the last scan — telemetry for FLOP/MFU
         #: accounting (bench.py); a device scalar until read

@@ -193,6 +193,29 @@ _V_SALT1 = jnp.uint32(0x9E3779B1)  # 2^32 / golden ratio (Knuth)
 _V_SALT2 = jnp.uint32(0x85EBCA77)  # murmur3 c2
 
 
+def visited_mode() -> str:
+    """Visited-set structure for non-resumable searches, from
+    PGVECTOR_TPU_VISITED: ``off`` (default — no visited set), ``hash1``
+    (single-probe hash table), or ``hash2`` (exact 2-choice hash table).
+
+    ``off`` is sound for plain scans: the pool-membership check keeps the
+    ef pool duplicate-free, expansion flags prevent re-expanding in-pool
+    members, and the W-bound termination still holds — an evicted node can
+    only re-enter (and be re-expanded) while it beats the pool's worst, so
+    the cost is bounded extra hops, never wrongness.  Iterative scans
+    always use hash2: ResumeScanItems' contract (hnswscan.c:61-87) needs a
+    persistent visited set across resumes.
+
+    Measured on v5e @ 100k, Q=1000: the 2-scatter probe was 7.0ms of a
+    7.8ms hop (90% of scan time); dropping it gave hash2 2448→off 8783
+    QPS at ef=40 with IDENTICAL recall (0.9979) and identical hop counts
+    (25) — on real beam searches the revisit-suppression the table buys
+    is already provided by the pool checks."""
+    import os
+
+    return os.environ.get("PGVECTOR_TPU_VISITED", "off")
+
+
 def visited_capacity(ef: int) -> int:
     """Table width per query: sized so the typical layer-0 visit count
     (~ef·lm/2 scored candidates) stays under ~1/3 load with 2-choice
@@ -203,7 +226,9 @@ def visited_capacity(ef: int) -> int:
     return h
 
 
-def visited_init(nq: int, ef: int) -> jnp.ndarray:
+def visited_init(nq: int, ef: int, mode: str = "hash2") -> jnp.ndarray:
+    if mode == "off":
+        return jnp.full((nq, 8), -1, jnp.int32)  # dummy, never probed
     return jnp.full((nq, visited_capacity(ef)), -1, jnp.int32)
 
 
@@ -216,10 +241,15 @@ def _v_slots(table: jnp.ndarray, elems: jnp.ndarray):
     return s1, s2
 
 
-def visited_probe(table: jnp.ndarray, elems: jnp.ndarray):
+def visited_probe(table: jnp.ndarray, elems: jnp.ndarray,
+                  mode: str = "hash2"):
     """Membership check + insert for a (Q, R) block of element ids
     (negative ids ignored).  Returns (table, seen) where ``seen`` is True
-    only for elements already present before this call."""
+    only for elements already present before this call.  ``hash1`` uses a
+    single probe slot (half the scatter cost; a failed insert just means
+    the element may be re-scored later — wasted work, never wrongness)."""
+    if mode == "off":
+        return table, jnp.zeros(elems.shape, jnp.bool_)
     nq = table.shape[0]
     rows = jnp.broadcast_to(
         jnp.arange(nq, dtype=jnp.int32)[:, None], elems.shape
@@ -228,6 +258,12 @@ def visited_probe(table: jnp.ndarray, elems: jnp.ndarray):
     f1, f2 = s1.reshape(-1), s2.reshape(-1)
     live = elems >= 0
     occ1 = table[rows, f1].reshape(elems.shape)
+    if mode == "hash1":
+        seen = (occ1 == elems) & live
+        want1 = (~seen) & live & (occ1 < 0)
+        table = table.at[rows, f1].max(
+            jnp.where(want1, elems, -1).reshape(-1))
+        return table, seen
     occ2 = table[rows, f2].reshape(elems.shape)
     seen = ((occ1 == elems) | (occ2 == elems)) & live
     # insert pass 1: empty slot 1 (scatter-max: occupied slots receive -1
@@ -250,7 +286,7 @@ def visited_probe(table: jnp.ndarray, elems: jnp.ndarray):
 
 
 def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
-              ef: int, expand: int = 1, disc=None):
+              ef: int, expand: int = 1, disc=None, vmode: str = "hash2"):
     """One expansion hop: pop the ``expand`` nearest unexpanded candidates
     per query, gather their neighbors, score the unvisited ones, merge into
     the pool.  expand=1 is exactly Algorithm 2's best-first order;
@@ -303,7 +339,7 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     # visited-table insert failed (hash-set load spill → benign revisit)
     in_pool = jnp.any(nbrs[:, :, None] == pool_i[:, None, :], axis=2)
     nbrs = jnp.where(in_pool, -1, nbrs)
-    visited, seen = visited_probe(visited, nbrs)
+    visited, seen = visited_probe(visited, nbrs, vmode)
     nbrs = jnp.where(seen, -1, nbrs)
     nd = score(qs, nbrs)
     d = jnp.concatenate([pool_d, nd], axis=1)
@@ -324,13 +360,15 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     return d[:, :ef], i[:, :ef], x[:, :ef].astype(jnp.bool_), visited, done
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "metric", "ef", "expand"))
+@functools.partial(jax.jit, static_argnames=("kind", "metric", "ef", "expand",
+                                             "vmode"))
 def _hop_step(kind, metric, values, nbr0, nbr_up, up_slot, level, qs,
-              pool_d, pool_i, pool_x, visited, ef: int, expand: int = 1):
+              pool_d, pool_i, pool_x, visited, ef: int, expand: int = 1,
+              vmode: str = "hash2"):
     score = make_scorer(kind, metric, values)
     nbrs_of = _neighbors_closure(nbr0, nbr_up, up_slot)
     return _hop_body(score, lambda e: nbrs_of(e, level), qs,
-                     pool_d, pool_i, pool_x, visited, ef, expand)
+                     pool_d, pool_i, pool_x, visited, ef, expand, vmode=vmode)
 
 
 def _init_pool(qs, init_d, init_i, ef: int):
@@ -351,7 +389,7 @@ def _init_pool(qs, init_d, init_i, ef: int):
 
 def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
                  ef: int, lm: int, max_steps: int, expand: int = 1,
-                 disc=None):
+                 disc=None, vmode: str = "hash2"):
     """Algorithm 2 (HnswSearchLayer, hnswutils.c:822-985), batched, as a
     traced while_loop — for use inside the TPU mono-jits.
 
@@ -360,7 +398,7 @@ def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
     (pool_d, pool_i, visited, disc, steps); without it,
     (pool_d, pool_i, visited, steps)."""
     pool_d, pool_i, pool_x = _init_pool(qs, init_d, init_i, ef)
-    visited, _ = visited_probe(visited, pool_i)
+    visited, _ = visited_probe(visited, pool_i, vmode)
     nq = pool_d.shape[0]
 
     def cond(state):
@@ -372,7 +410,7 @@ def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
             pool_d, pool_i, pool_x, visited, dd, di, step, _ = state
             pool_d, pool_i, pool_x, visited, (dd, di), done = _hop_body(
                 score, neighbors_of, qs, pool_d, pool_i, pool_x, visited, ef,
-                expand, disc=(dd, di),
+                expand, disc=(dd, di), vmode=vmode,
             )
             return pool_d, pool_i, pool_x, visited, dd, di, step + 1, done
 
@@ -386,7 +424,7 @@ def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
         pool_d, pool_i, pool_x, visited, step, _ = state
         pool_d, pool_i, pool_x, visited, done = _hop_body(
             score, neighbors_of, qs, pool_d, pool_i, pool_x, visited, ef,
-            expand,
+            expand, vmode=vmode,
         )
         return pool_d, pool_i, pool_x, visited, step + 1, done
 
@@ -406,7 +444,7 @@ def _pool_seed(qs, init_d, init_i, visited, ef: int):
 
 def search_layer_host(kind, metric, values, nbr0, nbr_up, up_slot, level,
                       qs, init_d, init_i, visited, ef: int, max_steps: int,
-                      expand: int = 1):
+                      expand: int = 1, vmode: str = "hash2"):
     """Host-driven Algorithm 2: the same hop step, with termination checked
     on the host (CPU backend path)."""
     pool_d, pool_i, pool_x, visited = _pool_seed(qs, init_d, init_i, visited, ef)
@@ -415,7 +453,7 @@ def search_layer_host(kind, metric, values, nbr0, nbr_up, up_slot, level,
     for _ in range(max_steps):
         pool_d, pool_i, pool_x, visited, done = _hop_step(
             kind, metric, values, nbr0, nbr_up, up_slot, lvl, qs,
-            pool_d, pool_i, pool_x, visited, ef, expand
+            pool_d, pool_i, pool_x, visited, ef, expand, vmode
         )
         steps += 1
         if bool(jnp.all(done)):
@@ -968,11 +1006,11 @@ def _wave_level_loop(score, qs, lv, entry, entry_level, ef, m, l_unroll,
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "metric", "ef", "m", "l_unroll", "exclude_self",
-                     "expand"),
+                     "expand", "vmode"),
 )
 def wave_search(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
                 entry, entry_level, ef: int, m: int, l_unroll: int,
-                exclude_self: bool, expand: int = 1):
+                exclude_self: bool, expand: int = 1, vmode: str = "hash2"):
     """Full Algorithm 1 search for a wave (TPU mono-jit).  Returns stacked
     per-level pools (l_unroll+1, Q, ef); levels above the dynamic entry
     level terminate in one hop, so one compilation serves every graph
@@ -986,11 +1024,11 @@ def wave_search(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
                               m, max_steps=512)
 
     def beam_fn(lc, qs_, pool_d, pool_i):
-        visited = visited_init(nq, ef)
+        visited = visited_init(nq, ef, vmode)
         pd, pi, _, _ = search_layer(
             score, lambda e, _lc=lc: nbrs(e, jnp.int32(_lc)), qs_,
             pool_d, pool_i, visited, ef=ef, lm=2 * m, max_steps=4 * ef + 64,
-            expand=expand,
+            expand=expand, vmode=vmode,
         )
         return pd, pi
 
@@ -1001,7 +1039,8 @@ def wave_search(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
 
 def wave_search_host(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids,
                      lv, entry, entry_level, ef: int, m: int, l_unroll: int,
-                     exclude_self: bool, expand: int = 1):
+                     exclude_self: bool, expand: int = 1,
+                     vmode: str = "hash2"):
     """CPU variant: same level structure, host-driven loops."""
     score = lambda q, r: score_block(kind, metric, values, q, r)
     nq = lv.shape[0]
@@ -1011,11 +1050,11 @@ def wave_search_host(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids,
                                    up_slot, lc, qs_, cur, cur_d, max_steps=512)
 
     def beam_fn(lc, qs_, pool_d, pool_i):
-        visited = visited_init(nq, ef)
+        visited = visited_init(nq, ef, vmode)
         pd, pi, _, _ = search_layer_host(
             kind, metric, values, nbr0, nbr_up, up_slot, lc, qs_,
             pool_d, pool_i, visited, ef=ef, max_steps=4 * ef + 64,
-            expand=expand,
+            expand=expand, vmode=vmode,
         )
         return pd, pi
 
@@ -1055,11 +1094,12 @@ def _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k: int,
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "metric", "ef", "m", "l_unroll", "k", "heaptids",
-                     "expand"),
+                     "expand", "vmode"),
 )
 def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                  row_valid, fmask, qs, entry, entry_level, ef: int, m: int,
-                 l_unroll: int, k: int, heaptids: int, expand: int = 1):
+                 l_unroll: int, k: int, heaptids: int, expand: int = 1,
+                 vmode: str = "hash2"):
     """Algorithm 5 (hnswscan.c:25-56), TPU mono-jit."""
     score = make_scorer(kind, metric, values)
     nbrs = _neighbors_closure(nbr0, nbr_up, up_slot)
@@ -1071,11 +1111,11 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
     for lc in range(l_unroll, 0, -1):
         cur, cur_d = greedy_descent(score, nbrs, qs, cur, cur_d, jnp.int32(lc),
                                     m, max_steps=512)
-    visited = visited_init(nq, ef)
+    visited = visited_init(nq, ef, vmode)
     pool_d, pool_i, _, steps = search_layer(
         score, lambda e: nbrs(e, jnp.int32(0)), qs, cur_d[:, None],
         cur[:, None], visited, ef=ef, lm=2 * m, max_steps=8 * ef + 64,
-        expand=expand,
+        expand=expand, vmode=vmode,
     )
     d, r = _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k, heaptids)
     return d, r, steps
@@ -1154,7 +1194,7 @@ def query_search_resume(kind, metric, values, nbr0, nbr_up, up_slot, qs,
 def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                       row_valid, fmask, qs, entry, entry_level, ef: int,
                       m: int, l_unroll: int, k: int, heaptids: int,
-                      expand: int = 1):
+                      expand: int = 1, vmode: str = "hash2"):
     """CPU variant of Algorithm 5 with host-driven loops."""
     nq = qs.shape[0] if not isinstance(qs, tuple) else qs[0].shape[0]
     entry_arr = jnp.full((nq,), entry, jnp.int32)
@@ -1164,10 +1204,11 @@ def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
         cur, cur_d = greedy_descent_host(kind, metric, values, nbr0, nbr_up,
                                          up_slot, lc, qs, cur, cur_d,
                                          max_steps=512)
-    visited = visited_init(nq, ef)
+    visited = visited_init(nq, ef, vmode)
     pool_d, pool_i, _, steps = search_layer_host(
         kind, metric, values, nbr0, nbr_up, up_slot, 0, qs,
         cur_d[:, None], cur[:, None], visited, ef=ef, max_steps=8 * ef + 64,
+        vmode=vmode,
     )
     d, r = _expand_topk_jit(pool_d, pool_i, elem_rows, row_valid, fmask, k,
                             heaptids)
