@@ -322,11 +322,13 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
             jnp.arange(nq, dtype=jnp.int32)[:, None], sel.shape)
         pool_x = pool_x.at[rows_q.reshape(-1), sel.reshape(-1)].max(ok.reshape(-1))
         sel_elem = jnp.where(ok, jnp.take_along_axis(pool_i, sel, axis=1), -1)
-    # gather all selected candidates' neighbors: (Q, E·lm)
-    parts = [neighbors_of(sel_elem[:, e]) for e in range(sel_elem.shape[1])]
-    nbrs = jnp.concatenate(
-        [jnp.where(sel_elem[:, e][:, None] >= 0, p, -1)
-         for e, p in enumerate(parts)], axis=1)
+    # gather all selected candidates' neighbors in ONE flattened gather:
+    # (Q·E,) ids → (Q·E, lm) → (Q, E·lm) (E separate gathers measured ~3×
+    # slower at E=4 on v5e)
+    sel_flat = sel_elem.reshape(-1)
+    nb = neighbors_of(sel_flat)
+    nb = jnp.where(sel_flat[:, None] >= 0, nb, -1)
+    nbrs = nb.reshape(nq, -1)
     # dedupe within the hop (two expanded nodes sharing a neighbor)
     if sel_elem.shape[1] > 1:
         c = nbrs.shape[1]
@@ -343,9 +345,16 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     nbrs = jnp.where(seen, -1, nbrs)
     nd = score(qs, nbrs)
     d = jnp.concatenate([pool_d, nd], axis=1)
-    i = jnp.concatenate([pool_i, nbrs], axis=1)
-    x = jnp.concatenate([pool_x.astype(jnp.int32), jnp.zeros_like(nbrs)], axis=1)
-    d, i, x = jax.lax.sort((d, i, x), num_keys=1)
+    # pack (id, expanded-flag) into one int32 — id·2 | x — so the pool
+    # merge is a 2-operand sort instead of 3 (measured 0.65 vs 0.91 ms at
+    # (1000, 168) on v5e).  Ids are bounded by the 2^30 element-capacity
+    # this implies; -1 padding packs to -2 and unpacks back via the
+    # arithmetic shift.
+    packed = jnp.concatenate(
+        [pool_i * 2 + pool_x.astype(jnp.int32), nbrs * 2], axis=1)
+    d, packed = jax.lax.sort((d, packed), num_keys=1)
+    i = packed >> 1
+    x = (packed & 1) == 1
     if disc is not None:
         # candidates evicted past the ef bound feed the discarded pool
         # (hnswutils.c:936-971); -1/inf padding sorts to the tail
@@ -355,9 +364,8 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
         di = jnp.concatenate([disc_i, i[:, ef:]], axis=1)
         dd, di = jax.lax.sort((dd, di), num_keys=1)
         disc = (dd[:, :dk], di[:, :dk])
-        return (d[:, :ef], i[:, :ef], x[:, :ef].astype(jnp.bool_), visited,
-                disc, done)
-    return d[:, :ef], i[:, :ef], x[:, :ef].astype(jnp.bool_), visited, done
+        return (d[:, :ef], i[:, :ef], x[:, :ef], visited, disc, done)
+    return d[:, :ef], i[:, :ef], x[:, :ef], visited, done
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "metric", "ef", "expand",
