@@ -85,7 +85,8 @@ def main():
     nq = int(os.environ.get("BENCH_Q", 1000))
     batch = int(os.environ.get("BENCH_BATCH", 1000))
     ef_sweep = [int(x) for x in os.environ.get("BENCH_EF", "24,40,64,100").split(",")]
-    expand = int(os.environ.get("BENCH_EXPAND", 4))
+    expand = int(os.environ.get("BENCH_EXPAND", 4))        # build-side beam
+    qexpand = int(os.environ.get("BENCH_QEXPAND", 8))     # query-side beam
     run_ivf = os.environ.get("BENCH_IVF", "1") == "1"
     k = 10
     m = 16
@@ -128,6 +129,7 @@ def main():
     log(f"bench: steady {steady_rate:.0f} rows/s → {build_steady_s:.1f}s at n")
 
     results = []
+    idx.beam_expand = qexpand  # query-side beam width (build used expand)
     for ef in ef_sweep:
         idx.search(qs[:batch], k, ef_search=ef)  # warm up/compile
         log(f"bench: ef={ef} compiled")
@@ -142,7 +144,7 @@ def main():
                 _, r = idx.search(qs[s: s + bs], k, ef_search=ef)
                 steps = int(idx._last_scan_steps)
                 hops += steps
-                q_flops += steps * bs * (expand * 2 * m) * 128 * 3
+                q_flops += steps * bs * (qexpand * 2 * m) * 128 * 3
                 got.append(r)
             dt = min(dt, time.time() - t0)
         r = np.concatenate(got)[:nq]
@@ -233,6 +235,7 @@ def main():
         "exact_gt_s": round(gt_s, 1),
         "n": n,
         "beam_expand": expand,
+        "query_beam_expand": qexpand,
         "query_batch": batch,
         "sweep": results,
         "ivf": ivf,

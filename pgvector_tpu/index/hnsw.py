@@ -588,22 +588,45 @@ class HNSWIndex:
             ).astype(np.int32))
             lv_conn = np.concatenate(
                 [lv, np.full(nq_pad - nq, -1, lv.dtype)])
-            mi = min(self.m, nq_pad)
             top = min(self.entry_level, int(lv.max()))
             for lc in range(top, -1, -1):
-                if not (lv >= lc).any():
+                elig = lv >= lc
+                if not elig.any():
                     continue
                 lm = 2 * self.m if lc == 0 else self.m
-                chunk = min(1024, _round_pow2(nq_pad * lm))
+                if lc == 0:
+                    e_lvl, elig_dev = e_conn, jnp.asarray(lv_conn >= 0)
+                    pd, pi = out_d[0], out_i[0]
+                    b_lvl = nq_pad
+                else:
+                    # upper levels hold ~1/m of the wave — compact to a
+                    # small block instead of paying a full-wave connect
+                    # (a 1024-row select costs the same whether 64 or
+                    # 1024 rows are real)
+                    idx_e = np.flatnonzero(elig)
+                    b_lvl = _round_pow2(max(len(idx_e), 64))
+                    pad_e = b_lvl - len(idx_e)
+                    sel_idx = jnp.asarray(np.concatenate(
+                        [idx_e, np.zeros(pad_e, idx_e.dtype)]))
+                    e_lvl = jnp.asarray(np.concatenate(
+                        [elems[idx_e], np.full(pad_e, -1, elems.dtype)]
+                    ).astype(np.int32))
+                    elig_dev = jnp.asarray(
+                        np.arange(b_lvl) < len(idx_e))
+                    pd = out_d[lc][sel_idx]
+                    pi = out_i[lc][sel_idx]
+                # 2048-row merge chunks amortize the sequential select
+                # fori_loop (the per-chunk fixed cost measured ~11ms at
+                # 1024 rows on v5e; bigger chunks halve invocations)
+                chunk = min(2048, _round_pow2(b_lvl * lm))
                 (self.nbr0, self.nbr_up, self.kept0, self.kept_up) = \
                     K.connect_level(
                         self.kind, self.metric, self.values,
                         self.nbr0, self.nbr_up, self.kept0, self.kept_up,
-                        self._up_slot_dev, e_conn,
-                        jnp.asarray(lv_conn >= lc), jnp.int32(lc),
-                        out_d[lc], out_i[lc],
-                        level0=(lc == 0), m=self.m, mi=mi, smax=lm,
-                        chunk=chunk,
+                        self._up_slot_dev, e_lvl, elig_dev, jnp.int32(lc),
+                        pd, pi,
+                        level0=(lc == 0), m=self.m,
+                        mi=min(self.m, b_lvl), smax=lm, chunk=chunk,
                     )
 
     def _insert_wave(self, elems: np.ndarray, lv: np.ndarray) -> None:

@@ -906,46 +906,55 @@ def connect_level(kind, metric, values, nbr0, nbr_up, kept0, kept_up,
     def cond(state):
         return state[0] * chunk < u_count
 
-    if level0:
-        def body(state):
-            i, nbr0, kept0 = state
-            t_c = jax.lax.dynamic_slice(targets, (i * chunk,), (chunk,))
-            s_c = jax.lax.dynamic_slice(new_src, (i * chunk, 0),
-                                        (chunk, smax))
+    # merged lists accumulate into a dense (E_pad, lm) buffer via
+    # contiguous dynamic_update_slice; ONE scatter applies them all after
+    # the loop.  Per-chunk scatters measured 1.67ms each on v5e (×2 arrays
+    # × ~22 chunks ≈ 73ms/wave) vs 5.5ms for one 32k-row scatter.  Safe
+    # because targets are unique across the wave: no chunk reads another
+    # chunk's backlink writes (own-list writes land before this loop).
+    e_pad_rows = targets.shape[0]
+    acc_l = jnp.full((e_pad_rows, lm), -1, jnp.int32)
+    acc_k = jnp.zeros((e_pad_rows, lm), jnp.bool_)
+
+    def body(state):
+        i, acc_l, acc_k = state
+        t_c = jax.lax.dynamic_slice(targets, (i * chunk,), (chunk,))
+        s_c = jax.lax.dynamic_slice(new_src, (i * chunk, 0),
+                                    (chunk, smax))
+        if level0:
             okc = t_c >= 0
             old = jnp.where(okc[:, None], nbr0[jnp.maximum(t_c, 0)], -1)
             oldk = kept0[jnp.maximum(t_c, 0)] & okc[:, None]
-            new_l, new_k = _merge_wholesale_core(
-                kind, metric, values, old, oldk, s_c,
-                jnp.where(okc, t_c, -1), lm)
-            w = jnp.where(okc, t_c, nbr0.shape[0])
-            nbr0 = nbr0.at[w].set(new_l, mode="drop")
-            kept0 = kept0.at[w].set(new_k, mode="drop")
-            return i + 1, nbr0, kept0
-
-        _, nbr0, kept0 = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), nbr0, kept0))
-    else:
-        def body(state):
-            i, nbr_up, kept_up = state
-            t_c = jax.lax.dynamic_slice(targets, (i * chunk,), (chunk,))
-            s_c = jax.lax.dynamic_slice(new_src, (i * chunk, 0),
-                                        (chunk, smax))
+        else:
             slots_c = up_slot[jnp.maximum(t_c, 0)]
             okc = (t_c >= 0) & (slots_c >= 0)
             old = jnp.where(okc[:, None],
                             nbr_up[jnp.maximum(slots_c, 0), lvl_idx], -1)
             oldk = kept_up[jnp.maximum(slots_c, 0), lvl_idx] & okc[:, None]
-            new_l, new_k = _merge_wholesale_core(
-                kind, metric, values, old, oldk, s_c,
-                jnp.where(okc, t_c, -1), lm)
-            wu = jnp.where(okc, slots_c, nbr_up.shape[0])
-            nbr_up = nbr_up.at[wu, lvl_idx].set(new_l, mode="drop")
-            kept_up = kept_up.at[wu, lvl_idx].set(new_k, mode="drop")
-            return i + 1, nbr_up, kept_up
+        new_l, new_k = _merge_wholesale_core(
+            kind, metric, values, old, oldk, s_c,
+            jnp.where(okc, t_c, -1), lm)
+        new_l = jnp.where(okc[:, None], new_l, -1)
+        acc_l = jax.lax.dynamic_update_slice(acc_l, new_l, (i * chunk, 0))
+        acc_k = jax.lax.dynamic_update_slice(acc_k, new_k & okc[:, None],
+                                             (i * chunk, 0))
+        return i + 1, acc_l, acc_k
 
-        _, nbr_up, kept_up = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), nbr_up, kept_up))
+    _, acc_l, acc_k = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), acc_l, acc_k))
+    # rows past u_count / invalid targets carry tgt=-1 → dropped
+    done_rows = (jnp.arange(e_pad_rows, dtype=jnp.int32)
+                 < u_count) & (targets >= 0)
+    if level0:
+        w = jnp.where(done_rows, targets, nbr0.shape[0])
+        nbr0 = nbr0.at[w].set(acc_l, mode="drop")
+        kept0 = kept0.at[w].set(acc_k, mode="drop")
+    else:
+        slots_t = up_slot[jnp.maximum(targets, 0)]
+        okw2 = done_rows & (slots_t >= 0)
+        wu = jnp.where(okw2, slots_t, nbr_up.shape[0])
+        nbr_up = nbr_up.at[wu, lvl_idx].set(acc_l, mode="drop")
+        kept_up = kept_up.at[wu, lvl_idx].set(acc_k, mode="drop")
     return nbr0, nbr_up, kept0, kept_up
 
 

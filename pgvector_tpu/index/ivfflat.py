@@ -277,6 +277,36 @@ class IVFFlatIndex:
         self.list_lens = counts.astype(np.int64)
         self.assignments = assignments
         self.indexed_mask = assignments >= 0
+        self._refresh_post_values()
+
+    #: rows per contiguous value block — the probe scan's gather unit
+    POST_BLOCK = 512
+
+    def _refresh_post_values(self) -> None:
+        """Materialize the index's own value copy in *posting order* —
+        the TPU analogue of the reference's entry pages, which store each
+        list's tuples contiguously (InsertTuples, ivfbuild.c:271-331).
+
+        Probing then gathers whole (POST_BLOCK, dim) contiguous blocks
+        instead of one random table row per candidate: at 1M rows /
+        probes=10 the per-row gather moved ~10 GB of scattered 512-byte
+        reads per 1000-query batch (measured 352 qps); block gathers
+        stream the same bytes at near-HBM bandwidth.  Values are stored
+        *formed* (normalized for cosine opclasses, sql/vector.sql:437-441)
+        in the table's dtype."""
+        post = self.postings  # (lists, cap)
+        cap = post.shape[1]
+        cs = min(cap, self.POST_BLOCK)
+        self._post_cs = cs
+        safe = jnp.maximum(post, 0)
+        pv = self.table.data[safe]  # (lists, cap, W)
+        pv = jnp.where((post >= 0)[..., None], pv, 0)
+        if not self._is_bit and self._normalized:
+            pvf = pv.astype(jnp.float32)
+            nrm = jnp.sqrt(jnp.sum(pvf * pvf, axis=-1, keepdims=True))
+            pv = (pvf / jnp.maximum(nrm, 1e-30)).astype(pv.dtype)
+        w = pv.shape[-1]
+        self.post_values = pv.reshape(self.lists * (cap // cs), cs, w)
 
     # ----------------------------------------------------------------- insert
     def insert(self, rows) -> None:
@@ -315,8 +345,26 @@ class IVFFlatIndex:
             pos = self.list_lens[sa] + (np.arange(len(sr)) - starts[sa])
             post[sa, pos] = sr
             self.list_lens = self.list_lens + batch_counts
+        grew = post.shape[1] != int(self.postings.shape[1])
         self.postings = jnp.asarray(post)
         self.indexed_mask = self.assignments >= 0
+        if len(ins_rows) == 0:
+            return
+        if grew:
+            self._refresh_post_values()
+            return
+        # targeted post_values update: scatter the formed values of just
+        # the appended rows into their (block, offset) slots
+        cs = self._post_cs
+        ncs = post.shape[1] // cs
+        blk = jnp.asarray((sa * ncs + pos // cs).astype(np.int32))
+        off_in = jnp.asarray((pos % cs).astype(np.int32))
+        v = self.table.data[jnp.asarray(sr)]
+        if not self._is_bit and self._normalized:
+            vf = v.astype(jnp.float32)
+            nrm = jnp.sqrt(jnp.sum(vf * vf, axis=-1, keepdims=True))
+            v = (vf / jnp.maximum(nrm, 1e-30)).astype(v.dtype)
+        self.post_values = self.post_values.at[blk, off_in].set(v)
 
     # ----------------------------------------------------------------- vacuum
     def vacuum(self) -> None:
@@ -433,55 +481,69 @@ class IVFFlatIndex:
         return order
 
     def _probe_batch(self, qs, order, off, batch, k, valid, fmask):
-        """GetScanItems for one probe window — gather candidate rows of the
-        selected lists, exact distances, per-query top-k (ivfscan.c:123-187).
-        One batched gather + (Q, C) score block per candidate chunk (chunked
-        so the gathered block stays ≤ ~256 MB), running top-k merge."""
+        """GetScanItems for one probe window (ivfscan.c:123-187) — gather
+        whole contiguous (POST_BLOCK, dim) value blocks of the selected
+        lists from the posting-ordered value copy, score, running top-k.
+        Block gathers stream at near-HBM bandwidth where the old per-row
+        gather was latency-bound (352 → multi-k qps at 1M, probes=10)."""
         t = self.table
+        nq = qs.shape[0]
         sel = jax.lax.dynamic_slice(
-            order, (0, off), (order.shape[0], batch)
-        )  # (Q, batch)
-        cand = self.postings[sel].reshape(qs.shape[0], -1)  # (Q, C)
-        nq, c = cand.shape
+            order, (0, off), (nq, batch)
+        )  # (Q, batch) list ids
+        cap = self.postings.shape[1]
+        cs = self._post_cs
+        ncs = cap // cs
+        # expand list ids to block ids
+        selb = (sel[:, :, None] * ncs
+                + jnp.arange(ncs, dtype=sel.dtype)).reshape(nq, batch * ncs)
         width = t.words if self._is_bit else t.dim
-        cc = max(128, (1 << 26) // max(nq * width, 1))
-        n_chunks = max(1, -(-c // cc))
-        cc = -(-c // n_chunks)
-        if n_chunks * cc != c:
-            cand = jnp.concatenate(
-                [cand, jnp.full((nq, n_chunks * cc - c), -1, cand.dtype)], axis=1
-            )
+        # blocks per chunk: gathered chunk ≤ ~64 MB
+        bc = max(1, (1 << 26) // max(nq * cs * width * 4, 1))
+        nb = selb.shape[1]
+        n_chunks = max(1, -(-nb // bc))
+        bc = -(-nb // n_chunks)
+        if n_chunks * bc != nb:
+            selb = jnp.concatenate(
+                [selb, jnp.full((nq, n_chunks * bc - nb), -1, selb.dtype)],
+                axis=1)
         if fmask is None:
             fmask = jnp.ones(t.capacity, jnp.bool_)
         qrep = D.pack_bits(qs > 0.5) if self._is_bit else qs
         return _probe_topk(
-            self.metric, self._is_bit, self._normalized, t.data, qrep, cand,
-            valid, fmask, k, n_chunks,
+            self.metric, self._is_bit, self.post_values,
+            self.postings.reshape(-1, cs), qrep, selb, valid, fmask, k,
+            n_chunks,
         )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "is_bit", "normalized", "k", "n_chunks")
+    jax.jit, static_argnames=("metric", "is_bit", "k", "n_chunks")
 )
-def _probe_topk(metric, is_bit, normalized, data, qs, cand, valid, fmask,
-                k: int, n_chunks: int):
-    """(Q, C) candidate row ids → smallest-k (distances, row ids).
+def _probe_topk(metric, is_bit, post_values, post_blocks, qs, selb, valid,
+                fmask, k: int, n_chunks: int):
+    """(Q, NB) posting *block* ids → smallest-k (distances, row ids).
 
-    Scans C in ``n_chunks`` chunks: each step gathers the chunk's vectors,
-    scores the whole (Q, Cc) block (batched dot_general for dense metrics —
-    MXU work — or popcount lanes for bit), and merges into a running top-k.
-    ``qs`` is the pre-formed query rep: f32 (normalized for cosine) for
-    dense tables, packed uint32 words for bit tables."""
-    nq, c = cand.shape
-    cc = c // n_chunks
-    chunks = cand.reshape(nq, n_chunks, cc).transpose(1, 0, 2)  # (S, Q, Cc)
+    Each scan step gathers (Q, Bc) whole value blocks — contiguous
+    (cs, W) slabs of the posting-ordered copy — scores the (Q, Bc·cs)
+    block (batched dot_general on the MXU / popcount lanes for bit), and
+    merges into a running top-k.  Values are pre-formed (normalized for
+    cosine) at _refresh_post_values time, mirroring the reference's
+    entry-page tuple copies."""
+    nq, nb = selb.shape
+    bc = nb // n_chunks
+    cs = post_values.shape[1]
+    chunks = selb.reshape(nq, n_chunks, bc).transpose(1, 0, 2)  # (S, Q, Bc)
 
-    def step(carry, cand_c):
+    def step(carry, blk_c):
         best_d, best_i = carry
-        safe = jnp.maximum(cand_c, 0)
-        ok = (cand_c >= 0) & valid[safe] & fmask[safe]
+        safeb = jnp.maximum(blk_c, 0)
+        ids = post_blocks[safeb]  # (Q, Bc, cs)
+        ids = jnp.where(blk_c[:, :, None] >= 0, ids, -1).reshape(nq, -1)
+        safe = jnp.maximum(ids, 0)
+        ok = (ids >= 0) & valid[safe] & fmask[safe]
         if is_bit:
-            w = data[safe]  # (Q, Cc, W)
+            w = post_values[safeb].reshape(nq, bc * cs, -1)  # (Q, C, W)
             s = jnp.sum(
                 jax.lax.population_count(
                     jnp.bitwise_xor(qs[:, None, :], w)
@@ -489,19 +551,13 @@ def _probe_topk(metric, is_bit, normalized, data, qs, cand, valid, fmask,
                 axis=-1,
             ).astype(jnp.float32)
         else:
-            v = data[safe].astype(jnp.float32)  # (Q, Cc, D)
-            if normalized:
-                # cosine opclasses index *normalized* values and order by
-                # -ip (sql/vector.sql:437-441); the table holds raw vectors,
-                # so normalize candidates on the fly (cheap vs. the gather)
-                nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-                v = v / jnp.maximum(nrm, 1e-30)
+            v = post_values[safeb].reshape(nq, bc * cs, -1).astype(jnp.float32)
             ip = jax.lax.dot_general(
                 qs, v,
                 dimension_numbers=(((1,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
                 precision=D.dot_precision(),
-            )  # (Q, Cc)
+            )  # (Q, C)
             if metric is Metric.L2:
                 vsq = jnp.sum(v * v, axis=-1)
                 qsq = jnp.sum(qs * qs, axis=-1)[:, None]
@@ -509,12 +565,12 @@ def _probe_topk(metric, is_bit, normalized, data, qs, cand, valid, fmask,
             else:  # IP / normalized cosine order by -ip
                 s = -ip
         s = jnp.where(ok, s, jnp.inf)
-        d, i = merge_topk(best_d, best_i, s, cand_c, k)
+        d, i = merge_topk(best_d, best_i, s, ids, k)
         return (d, jnp.where(jnp.isinf(d), -1, i)), None
 
     init = (
         jnp.full((nq, k), jnp.inf, jnp.float32),
-        jnp.full((nq, k), -1, cand.dtype),
+        jnp.full((nq, k), -1, selb.dtype),
     )
     (d, i), _ = jax.lax.scan(step, init, chunks)
     return d, i

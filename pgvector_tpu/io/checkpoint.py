@@ -248,4 +248,7 @@ def load_ivfflat(table, path: str):
     idx.list_lens = _load(path, "list_lens")
     idx.assignments = _load(path, "assignments")
     idx.indexed_mask = idx.assignments >= 0
+    # the posting-ordered value copy is derived state — rebuild rather
+    # than persist (the checkpoint stays small; one gather at load)
+    idx._refresh_post_values()
     return idx
