@@ -330,16 +330,24 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     nb = jnp.where(sel_flat[:, None] >= 0, nb, -1)
     nbrs = nb.reshape(nq, -1)
     # dedupe within the hop (two expanded nodes sharing a neighbor):
-    # sort ids and mask adjacent equals — O(W log W) instead of the
-    # (W, W) compare block (0.7 vs 1.4 ms at W=256 on v5e).  Candidate
-    # order is meaningless (the pool merge re-sorts by distance), so the
-    # candidates simply stay id-sorted.
+    # sort ids valid-first and mask adjacent equals — O(W log W) instead
+    # of the (W, W) compare block (0.7 vs 1.4 ms at W=256 on v5e).
+    # Candidate order is meaningless (the pool merge re-sorts by
+    # distance), so candidates stay id-sorted with -1s at the tail.
     if sel_elem.shape[1] > 1:
-        nbrs = jax.lax.sort(nbrs, dimension=1)
+        inval = jnp.int32(2**31 - 1)
+        key = jnp.where(nbrs >= 0, nbrs, inval)
+        key = jax.lax.sort(key, dimension=1)
         dup = jnp.concatenate(
             [jnp.zeros((nq, 1), jnp.bool_),
-             (nbrs[:, 1:] == nbrs[:, :-1]) & (nbrs[:, 1:] >= 0)], axis=1)
-        nbrs = jnp.where(dup, -1, nbrs)
+             (key[:, 1:] == key[:, :-1]) & (key[:, 1:] != inval)], axis=1)
+        nbrs = jnp.where(dup | (key == inval), -1, key)
+        # NOTE: slicing the sorted candidates to a narrower width was
+        # tried (cut the dominant gather 25%) and REJECTED: id-sorted
+        # order biases the drop toward high element ids (late inserts),
+        # which is systematic, not random — measured recall collapse
+        # 0.999 → 0.77 at 100k.  Don't re-attempt without an unbiased
+        # drop order.
     # pool-membership check: keeps the ef pool duplicate-free even when a
     # visited-table insert failed (hash-set load spill → benign revisit)
     in_pool = jnp.any(nbrs[:, :, None] == pool_i[:, None, :], axis=2)
@@ -606,18 +614,32 @@ select_neighbors_batch = jax.vmap(
 )
 
 
-def _pad_lanes(pool_d, pool_i, mult: int = 128):
-    """Pad the candidate (lane) dimension to a multiple of 128.
+def _lane_mult() -> int:
+    """Select-lane padding multiple on TPU.  128 is the only width this
+    image's toolchain compiles correctly in the FUSED kernels: width 80
+    miscompiled in round 1, and width 64 — although bit-exact vs the CPU
+    reference on isolated random rows — degraded 4k build recall
+    0.97 → 0.8665 inside connect_level (fusion-context miscompile,
+    round 2).  PGVECTOR_TPU_LANE_MULT=64 re-enables the experiment."""
+    import os
+
+    return int(os.environ.get("PGVECTOR_TPU_LANE_MULT", 128))
+
+
+def _pad_lanes(pool_d, pool_i, mult: int = 0):
+    """Pad the candidate (lane) dimension to a lane-safe multiple.
 
     This image's axon TPU toolchain MISCOMPILES the vmapped selection loop
-    at non-128-multiple candidate widths: with an 80-wide pool the compiled
-    program behaved as if columns 64..79 didn't exist (verified bit-exact
-    at width 128, wrong at width 80, on identical inputs — BENCH_NOTES.md).
+    at some candidate widths: with an 80-wide pool the compiled program
+    behaved as if columns 64..79 didn't exist (verified bit-exact at width
+    128, wrong at width 80, on identical inputs — BENCH_NOTES.md).
     Padding costs a larger pairwise block but guarantees lane-aligned
     shapes everywhere the select loop runs.  CPU lowering is correct at any
     width, so the pad only applies on TPU backends."""
     if jax.default_backend() != "tpu":
         return pool_d, pool_i
+    if not mult:
+        mult = _lane_mult()
     c = pool_i.shape[1]
     pad = (-c) % mult
     if pad:
