@@ -330,24 +330,30 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     nb = jnp.where(sel_flat[:, None] >= 0, nb, -1)
     nbrs = nb.reshape(nq, -1)
     # dedupe within the hop (two expanded nodes sharing a neighbor):
-    # sort ids valid-first and mask adjacent equals — O(W log W) instead
-    # of the (W, W) compare block (0.7 vs 1.4 ms at W=256 on v5e).
-    # Candidate order is meaningless (the pool merge re-sorts by
-    # distance), so candidates stay id-sorted with -1s at the tail.
+    # sort by a BIJECTIVE multiplicative permutation of the id (Knuth
+    # hash; odd multiplier mod 2^32 — exact dedup via adjacency since
+    # permuted-key equality ⇔ id equality) and mask adjacent equals —
+    # O(W log W) instead of the (W, W) compare block (0.7 vs 1.4 ms at
+    # W=256 on v5e).  The permuted order is also *unbiased*, which makes
+    # the truncation below safe: plain id order biased the drop toward
+    # late-inserted elements and collapsed recall 0.999 → 0.77.
     if sel_elem.shape[1] > 1:
-        inval = jnp.int32(2**31 - 1)
-        key = jnp.where(nbrs >= 0, nbrs, inval)
+        perm = jnp.uint32(2654435761)   # Knuth multiplicative constant
+        perm_inv = jnp.uint32(244002641)  # modular inverse mod 2^32
+        inval = jnp.uint32(0xFFFFFFFF)  # no id < 2^30 maps here
+        key = jnp.where(nbrs >= 0, nbrs.astype(jnp.uint32) * perm, inval)
         key = jax.lax.sort(key, dimension=1)
         dup = jnp.concatenate(
             [jnp.zeros((nq, 1), jnp.bool_),
              (key[:, 1:] == key[:, :-1]) & (key[:, 1:] != inval)], axis=1)
-        nbrs = jnp.where(dup | (key == inval), -1, key)
-        # NOTE: slicing the sorted candidates to a narrower width was
-        # tried (cut the dominant gather 25%) and REJECTED: id-sorted
-        # order biases the drop toward high element ids (late inserts),
-        # which is systematic, not random — measured recall collapse
-        # 0.999 → 0.77 at 100k.  Don't re-attempt without an unbiased
-        # drop order.
+        ids = (key * perm_inv).astype(jnp.int32)
+        nbrs = jnp.where(dup | (key == inval), -1, ids)
+        # NOTE: truncating to 3W/4 after this sort was tried twice to cut
+        # the dominant gather and REJECTED both times: id-order drops are
+        # biased toward late inserts (recall 0.999→0.77) and even the
+        # unbiased permuted-order drop lost 5 recall points AND increased
+        # hop counts (0.9483 @ 20 hops vs 0.9990 @ 16 at 100k/ef40/e8) —
+        # most hops have no duplicate margin to spend.
     # pool-membership check: keeps the ef pool duplicate-free even when a
     # visited-table insert failed (hash-set load spill → benign revisit)
     in_pool = jnp.any(nbrs[:, :, None] == pool_i[:, None, :], axis=2)
