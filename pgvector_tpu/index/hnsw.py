@@ -162,10 +162,6 @@ class HNSWIndex:
             raise FeatureNotSupported(f"hnsw does not support {type(table).__name__}")
 
         self._rng = np.random.default_rng(seed)
-        #: static unroll depth for upper levels; element levels are clamped
-        #: to this (the reference clamps to a page-size bound, hnsw.h:133).
-        #: 4 covers graphs to ~m^5 elements; raise for larger corpora.
-        self._l_unroll = int(__import__("os").environ.get("PGVECTOR_TPU_L_UNROLL", 4))
         # preallocating capacity avoids growth recompiles (every capacity
         # doubling gives the wave/query kernels new array shapes — ~10
         # extra compiles on a 1M build) and the attendant array copies
@@ -174,7 +170,31 @@ class HNSWIndex:
             self.build()
 
     # ------------------------------------------------------------- graph state
+    def _derive_l_unroll(self, capacity: int) -> int:
+        """Static upper-level unroll depth, derived from (capacity, m):
+        levels are geometric with ratio 1/m (level = floor(-ln(U)·ml),
+        ml = 1/ln(m), hnswutils.c:249), so the highest level any of
+        ``capacity`` elements plausibly reaches is ~log_m(capacity) — the
+        same bound the reference derives from page size (hnsw.h:133).
+        Element levels are clamped to this; the clamp only binds with
+        probability ~1/capacity.  PGVECTOR_TPU_L_UNROLL overrides."""
+        import os
+
+        env = os.environ.get("PGVECTOR_TPU_L_UNROLL")
+        if env is not None:
+            return int(env)
+        need = math.ceil(math.log(max(capacity, 2)) / math.log(self.m))
+        return min(L_MAX, max(2, need))
+
     def _init_graph(self, capacity: int) -> None:
+        if capacity > 2**30:
+            # pool entries pack (id·2 | flag) into int32 and the dedup
+            # sentinel is 0xFFFFFFFF (hnsw_kernels._hop_body) — ids must
+            # stay below 2^30
+            raise DataException(
+                "hnsw index cannot hold more than 2^30 elements"
+            )
+        self._l_unroll = self._derive_l_unroll(capacity)
         t = self.table
         self.cap_e = capacity
         self.cap_u = max(capacity // max(self.m // 2, 1), 64)
@@ -208,6 +228,9 @@ class HNSWIndex:
         self._levels_dev: Optional[jnp.ndarray] = None
         self._elem_rows_dev: Optional[jnp.ndarray] = None
         self._dirty = True
+        #: adjacency-packed neighbor values for the scan path (lazily
+        #: built, invalidated by any graph mutation)
+        self._nbr_vals: Optional[jnp.ndarray] = None
 
     def _sync_device_meta(self) -> None:
         if self._dirty:
@@ -403,6 +426,7 @@ class HNSWIndex:
         if need_up.any():
             self.up_slot[elems[need_up]] = self._alloc_upper_bulk(int(need_up.sum()))
         self._dirty = True
+        self._nbr_vals = None  # graph is about to change
         self._write_values(elems, values)
 
         # wave schedule: full-size waves from the start — intra-wave
@@ -508,6 +532,14 @@ class HNSWIndex:
 
     def _grow(self) -> None:
         new_cap = self.cap_e * 2
+        if new_cap > 2**30:
+            raise DataException(
+                "hnsw index cannot hold more than 2^30 elements"
+            )
+        # deeper graphs earn a deeper unroll (never shrinks: existing
+        # levels were clamped to the old depth and stay valid)
+        self._l_unroll = max(self._l_unroll, self._derive_l_unroll(new_cap))
+        self._nbr_vals = None
         pad = new_cap - self.cap_e
 
         def grow_val(a, fill):
@@ -822,10 +854,51 @@ class HNSWIndex:
         pool_bytes = ef * (vec_bytes + 9)
         return pool_bytes + 4 * K.visited_capacity(ef)
 
+    def _packed_dtype(self):
+        """Scan-path value packing mode (PGVECTOR_TPU_PACKED_SCAN:
+        auto/off/f32/bf16).  ``auto`` packs dense indexes on TPU when the
+        duplicated (cap, 2m, D) copy fits a conservative HBM budget —
+        f32 when small enough (bit-exact vs the row-gather path), bf16 at
+        1M×128-d scale (≤8 GB; exact f32 re-rank restores final ordering),
+        off beyond (e.g. 1M×960-d would need 61 GB)."""
+        import os
+
+        mode = os.environ.get("PGVECTOR_TPU_PACKED_SCAN", "auto")
+        if mode in ("off", "f32", "bf16"):
+            return None if mode == "off" else \
+                (jnp.float32 if mode == "f32" else jnp.bfloat16)
+        if self.kind != "dense" or jax.default_backend() != "tpu":
+            return None
+        f32_bytes = self.cap_e * 2 * self.m * self.table.dim * 4
+        if f32_bytes <= 2 << 30:
+            return jnp.float32
+        if f32_bytes // 2 <= 9 << 30:
+            return jnp.bfloat16
+        return None
+
+    def _ensure_nbr_vals(self, dtype):
+        """Materialize nbr_vals[cap, 2m, D] = values[nbr0] — each element's
+        neighbor value block as one contiguous slab (the scan then gathers
+        Q·expand slabs per hop instead of Q·expand·2m random rows).  One
+        chunked gather pass; rebuilt lazily after graph mutations."""
+        if self._nbr_vals is not None and self._nbr_vals.dtype == dtype:
+            return self._nbr_vals
+        vecs = self.values[0]
+        chunk = 1 << 17
+        parts = []
+        for s in range(0, self.cap_e, chunk):
+            nb = self.nbr0[s: s + chunk]
+            parts.append(vecs[jnp.maximum(nb, 0)].astype(dtype))
+        self._nbr_vals = jnp.concatenate(parts, axis=0) if len(parts) > 1 \
+            else parts[0]
+        return self._nbr_vals
+
     def _search_once(self, qs, nq: int, k: int, ef: int, fmask):
         self._sync_device_meta()
         if fmask is None:
             fmask = jnp.ones(self.table.capacity, jnp.bool_)
+        pdt = self._packed_dtype()
+        packed_vals = self._ensure_nbr_vals(pdt) if pdt is not None else None
         query_fn = K.query_search_host if K.use_host_loop() else K.query_search
         d, r, steps = query_fn(
             self.kind, self.metric, self.values,
@@ -836,6 +909,8 @@ class HNSWIndex:
             ef=ef, m=self.m, l_unroll=self._l_unroll, k=k,
             heaptids=HEAPTIDS, expand=self.beam_expand,
             vmode=K.visited_mode(),
+            packed_vals=packed_vals,
+            rerank=(pdt is not None and pdt != jnp.float32),
         )
         #: layer-0 hop count of the last scan — telemetry for FLOP/MFU
         #: accounting (bench.py); a device scalar until read
@@ -856,7 +931,7 @@ class HNSWIndex:
                       * config.get("hnsw.scan_mem_multiplier"))
         fm = fmask if fmask is not None else jnp.ones(self.table.capacity, jnp.bool_)
         dk = max(4 * ef, 64)
-        pool_d, pool_i, visited, disc_d, disc_i = K.query_search_first(
+        pool_d, pool_i, visited, disc_d, disc_i, sc_dev = K.query_search_first(
             self.kind, self.metric, self.values, self.nbr0, self.nbr_up,
             self._up_slot_dev, qs, jnp.int32(self.entry),
             jnp.int32(self.entry_level), ef=ef, m=self.m,
@@ -875,7 +950,9 @@ class HNSWIndex:
             )
             d = np.asarray(self._user_dist(d_dev))
             r = np.asarray(r_dev)
-            scanned += np.isfinite(np.asarray(pool_d)).sum(axis=1)
+            # meter every scored candidate (the so->tuples contract of
+            # hnsw.max_scan_tuples, hnswscan.c:255-266), not pool occupancy
+            scanned += np.asarray(sc_dev, dtype=np.int64)
             if mode == "strict_order" and batches > 1:
                 # suppress regressions below what earlier batches emitted
                 bad = d < prev_max[:, None]
@@ -894,12 +971,30 @@ class HNSWIndex:
             state_bytes = (self._scan_bytes_per_query(ef)
                            + 4 * dk + batches * ef * 16)
             if not active.any() or state_bytes > mem_budget or batches >= 64:
+                # the reference's "Return remaining tuples" branch
+                # (hnswscan.c:258-266): when the tuple/memory cap binds with
+                # fewer than k results, keep emitting from the discarded
+                # pool (already distance-sorted) instead of dropping it
+                if ((found < k) & disc_live).any():
+                    dd_dev, dr_dev = K._expand_topk_jit(
+                        disc_d, disc_i, self._elem_rows_dev,
+                        self.table.valid, fm, min(dk, 4 * ef), HEAPTIDS,
+                    )
+                    dd = np.asarray(self._user_dist(dd_dev))
+                    dr = np.asarray(dr_dev)
+                    if mode == "strict_order":
+                        bad = dd < prev_max[:, None]
+                        dd = np.where(bad, np.inf, dd)
+                        dr = np.where(bad, -1, dr)
+                    acc_d.append(dd)
+                    acc_r.append(dr)
                 break
-            pool_d, pool_i, visited, disc_d, disc_i = K.query_search_resume(
-                self.kind, self.metric, self.values, self.nbr0, self.nbr_up,
-                self._up_slot_dev, qs, visited, disc_d, disc_i,
-                ef=ef, m=self.m, expand=self.beam_expand,
-            )
+            pool_d, pool_i, visited, disc_d, disc_i, sc_dev = \
+                K.query_search_resume(
+                    self.kind, self.metric, self.values, self.nbr0,
+                    self.nbr_up, self._up_slot_dev, qs, visited, disc_d,
+                    disc_i, ef=ef, m=self.m, expand=self.beam_expand,
+                )
         # merge batches: per-query dedup (keep first occurrence — batch
         # order mirrors emission order), sort by distance, take k
         all_d = np.concatenate(acc_d, axis=1)
@@ -928,6 +1023,7 @@ class HNSWIndex:
     # ------------------------------------------------------------------ vacuum
     def vacuum(self) -> None:
         """hnswbulkdelete's 4 passes (hnswvacuum.c:777-797), wave-batched."""
+        self._nbr_vals = None  # repair rewrites neighbor lists
         valid_rows = np.asarray(self.table.valid)
         # pass 1: RemoveHeapTids (hnswvacuum.c:35-173) — vectorized: drop
         # dead TIDs and left-compact each element's slot row

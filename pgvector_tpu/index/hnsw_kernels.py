@@ -126,6 +126,24 @@ def make_scorer(kind: str, metric: Metric, data):
     raise ValueError(kind)
 
 
+def dense_point_scores(metric: Metric, qs, vf, rows):
+    """Per-candidate dense distances when the value block is already in
+    registers: (Q, W, D) values vs (Q, D) queries → (Q, W) f32.  Same math
+    as make_scorer's dense scorer (element order, f32 accumulate), minus
+    the per-row value gather."""
+    qf = qs.astype(jnp.float32)[:, None, :]
+    vf = vf.astype(jnp.float32)
+    if metric is Metric.L2:
+        d = jnp.sum((qf - vf) ** 2, axis=-1)
+    elif metric is Metric.IP or metric is Metric.COSINE:
+        d = -jnp.sum(qf * vf, axis=-1)
+    elif metric is Metric.L1:
+        d = jnp.sum(jnp.abs(qf - vf), axis=-1)
+    else:
+        raise ValueError(metric)
+    return jnp.where(rows >= 0, d, jnp.inf)
+
+
 def elems_as_queries(kind: str, values, elems):
     """Use stored elements as the query side (build-time searches)."""
     safe = jnp.maximum(elems, 0)
@@ -286,7 +304,8 @@ def visited_probe(table: jnp.ndarray, elems: jnp.ndarray,
 
 
 def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
-              ef: int, expand: int = 1, disc=None, vmode: str = "hash2"):
+              ef: int, expand: int = 1, disc=None, vmode: str = "hash2",
+              packed=None, metric=None):
     """One expansion hop: pop the ``expand`` nearest unexpanded candidates
     per query, gather their neighbors, score the unvisited ones, merge into
     the pool.  expand=1 is exactly Algorithm 2's best-first order;
@@ -297,7 +316,16 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     ``disc`` — optional (disc_d, disc_i) discarded pool: candidates evicted
     past the ef bound are merged into it (the discarded pairing heap of
     iterative scans, hnswutils.c:936-971).  Returned as the last element
-    when given."""
+    when given.
+
+    ``packed`` — optional adjacency-packed neighbor values
+    ``nbr_vals[cap, 2m, D]``: each expanded node's whole neighbor value
+    block is one contiguous slab, so the hop gathers Q·expand slabs
+    instead of Q·expand·2m random rows.  The per-hop score gather is the
+    measured single-chip floor (~20 ns/row at 1M, row-count-bound —
+    BENCH_NOTES.md); slab packing cuts gathered rows 2m-fold at the cost
+    of a duplicated value copy (bf16 keeps it ≤8 GB at 1M×128-d, with an
+    exact f32 re-rank of the final pool restoring exact ordering)."""
     nq = pool_d.shape[0]
     cand_mask = (~pool_x) & (pool_i >= 0)
     cand_d = jnp.where(cand_mask, pool_d, jnp.inf)
@@ -329,6 +357,28 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     nb = neighbors_of(sel_flat)
     nb = jnp.where(sel_flat[:, None] >= 0, nb, -1)
     nbrs = nb.reshape(nq, -1)
+    if packed is not None:
+        # ---- packed-adjacency scoring path ----
+        (nbr_vals,) = packed
+        w = nbrs.shape[1]
+        pv = nbr_vals[jnp.maximum(sel_flat, 0)]  # (Q·E, lm, D) slab gather
+        v = pv.reshape(nq, w, pv.shape[-1])
+        # dup mask in adjacency order (values must stay position-aligned,
+        # so no dedup re-sort): mark later copies of an id via a strict
+        # lower-triangle compare block
+        if sel_elem.shape[1] > 1:
+            eqm = nbrs[:, :, None] == nbrs[:, None, :]
+            tri = (jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+                   > jax.lax.broadcasted_iota(jnp.int32, (w, w), 1))
+            dup = jnp.any(eqm & tri[None] & (nbrs >= 0)[:, None, :], axis=2)
+            nbrs = jnp.where(dup, -1, nbrs)
+        in_pool = jnp.any(nbrs[:, :, None] == pool_i[:, None, :], axis=2)
+        nbrs = jnp.where(in_pool, -1, nbrs)
+        visited, seen = visited_probe(visited, nbrs, vmode)
+        nbrs = jnp.where(seen, -1, nbrs)
+        nd = dense_point_scores(metric, qs, v, nbrs)
+        return _hop_merge(pool_d, pool_i, pool_x, nbrs, nd, visited, ef,
+                          disc, done)
     # dedupe within the hop (two expanded nodes sharing a neighbor):
     # sort by a BIJECTIVE multiplicative permutation of the id (Knuth
     # hash; odd multiplier mod 2^32 — exact dedup via adjacency since
@@ -361,6 +411,14 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     visited, seen = visited_probe(visited, nbrs, vmode)
     nbrs = jnp.where(seen, -1, nbrs)
     nd = score(qs, nbrs)
+    return _hop_merge(pool_d, pool_i, pool_x, nbrs, nd, visited, ef, disc,
+                      done)
+
+
+def _hop_merge(pool_d, pool_i, pool_x, nbrs, nd, visited, ef: int, disc,
+               done):
+    """Shared hop tail: merge scored candidates into the ef pool (and the
+    discarded pool for iterative scans)."""
     d = jnp.concatenate([pool_d, nd], axis=1)
     # pack (id, expanded-flag) into one int32 — id·2 | x — so the pool
     # merge is a 2-operand sort instead of 3 (measured 0.65 vs 0.91 ms at
@@ -381,7 +439,11 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
         di = jnp.concatenate([disc_i, i[:, ef:]], axis=1)
         dd, di = jax.lax.sort((dd, di), num_keys=1)
         disc = (dd[:, :dk], di[:, :dk])
-        return (d[:, :ef], i[:, :ef], x[:, :ef], visited, disc, done)
+        # per-query scored-candidate count: the reference bumps so->tuples
+        # for every tuple whose distance is computed inside HnswSearchLayer,
+        # which is what hnsw.max_scan_tuples meters (hnswscan.c:255-266)
+        scored = jnp.sum((nbrs >= 0).astype(jnp.int32), axis=1)
+        return (d[:, :ef], i[:, :ef], x[:, :ef], visited, disc, done, scored)
     return d[:, :ef], i[:, :ef], x[:, :ef], visited, done
 
 
@@ -414,7 +476,7 @@ def _init_pool(qs, init_d, init_i, ef: int):
 
 def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
                  ef: int, lm: int, max_steps: int, expand: int = 1,
-                 disc=None, vmode: str = "hash2"):
+                 disc=None, vmode: str = "hash2", packed=None, metric=None):
     """Algorithm 2 (HnswSearchLayer, hnswutils.c:822-985), batched, as a
     traced while_loop — for use inside the TPU mono-jits.
 
@@ -431,25 +493,33 @@ def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
         return jnp.logical_and(~jnp.all(done), step < max_steps)
 
     if disc is not None:
+        def cond_disc(state):
+            step, done = state[-3], state[-2]
+            return jnp.logical_and(~jnp.all(done), step < max_steps)
+
         def body(state):
-            pool_d, pool_i, pool_x, visited, dd, di, step, _ = state
-            pool_d, pool_i, pool_x, visited, (dd, di), done = _hop_body(
-                score, neighbors_of, qs, pool_d, pool_i, pool_x, visited, ef,
-                expand, disc=(dd, di), vmode=vmode,
-            )
-            return pool_d, pool_i, pool_x, visited, dd, di, step + 1, done
+            pool_d, pool_i, pool_x, visited, dd, di, step, _, sc = state
+            pool_d, pool_i, pool_x, visited, (dd, di), done, scored = \
+                _hop_body(
+                    score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
+                    ef, expand, disc=(dd, di), vmode=vmode, packed=packed,
+                    metric=metric,
+                )
+            return (pool_d, pool_i, pool_x, visited, dd, di, step + 1, done,
+                    sc + scored)
 
         state = (pool_d, pool_i, pool_x, visited, disc[0], disc[1],
-                 jnp.int32(0), jnp.zeros((nq,), jnp.bool_))
-        (pool_d, pool_i, pool_x, visited, dd, di, steps, _) = \
-            jax.lax.while_loop(cond, body, state)
-        return pool_d, pool_i, visited, (dd, di), steps
+                 jnp.int32(0), jnp.zeros((nq,), jnp.bool_),
+                 jnp.zeros((nq,), jnp.int32))
+        (pool_d, pool_i, pool_x, visited, dd, di, steps, _, scanned) = \
+            jax.lax.while_loop(cond_disc, body, state)
+        return pool_d, pool_i, visited, (dd, di), steps, scanned
 
     def body(state):
         pool_d, pool_i, pool_x, visited, step, _ = state
         pool_d, pool_i, pool_x, visited, done = _hop_body(
             score, neighbors_of, qs, pool_d, pool_i, pool_x, visited, ef,
-            expand, vmode=vmode,
+            expand, vmode=vmode, packed=packed, metric=metric,
         )
         return pool_d, pool_i, pool_x, visited, step + 1, done
 
@@ -1142,13 +1212,20 @@ def _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k: int,
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "metric", "ef", "m", "l_unroll", "k", "heaptids",
-                     "expand", "vmode"),
+                     "expand", "vmode", "rerank"),
 )
 def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                  row_valid, fmask, qs, entry, entry_level, ef: int, m: int,
                  l_unroll: int, k: int, heaptids: int, expand: int = 1,
-                 vmode: str = "hash2"):
-    """Algorithm 5 (hnswscan.c:25-56), TPU mono-jit."""
+                 vmode: str = "hash2", packed_vals=None, rerank: bool = False):
+    """Algorithm 5 (hnswscan.c:25-56), TPU mono-jit.
+
+    ``packed_vals`` — optional adjacency-packed neighbor values
+    (nbr_vals[cap, 2m, D], possibly bf16): layer 0 scores whole neighbor
+    slabs instead of per-row value gathers (see _hop_body).  With
+    ``rerank``, the final ef pool is re-scored against the exact f32
+    stored values (one ef-row gather) so reduced-precision packing never
+    changes the emitted ordering beyond pool admission."""
     score = make_scorer(kind, metric, values)
     nbrs = _neighbors_closure(nbr0, nbr_up, up_slot)
     nq = qs.shape[0] if not isinstance(qs, tuple) else qs[0].shape[0]
@@ -1160,11 +1237,15 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
         cur, cur_d = greedy_descent(score, nbrs, qs, cur, cur_d, jnp.int32(lc),
                                     m, max_steps=512)
     visited = visited_init(nq, ef, vmode)
+    packed = (packed_vals,) if packed_vals is not None else None
     pool_d, pool_i, _, steps = search_layer(
         score, lambda e: nbrs(e, jnp.int32(0)), qs, cur_d[:, None],
         cur[:, None], visited, ef=ef, lm=2 * m, max_steps=8 * ef + 64,
-        expand=expand, vmode=vmode,
+        expand=expand, vmode=vmode, packed=packed, metric=metric,
     )
+    if rerank:
+        pool_d = score(qs, pool_i)  # exact f32 distances for the final pool
+        pool_d, pool_i = jax.lax.sort((pool_d, pool_i), num_keys=1)
     d, r = _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k, heaptids)
     return d, r, steps
 
@@ -1204,12 +1285,12 @@ def query_search_first(kind, metric, values, nbr0, nbr_up, up_slot, qs,
     visited = visited_init(nq, ef)
     disc = (jnp.full((nq, dk), jnp.inf, jnp.float32),
             jnp.full((nq, dk), -1, jnp.int32))
-    pool_d, pool_i, visited, (disc_d, disc_i), _ = search_layer(
+    pool_d, pool_i, visited, (disc_d, disc_i), _, scanned = search_layer(
         score, lambda e: nbrs(e, jnp.int32(0)), qs, cur_d[:, None],
         cur[:, None], visited, ef=ef, lm=2 * m, max_steps=8 * ef + 64,
         expand=expand, disc=disc,
     )
-    return pool_d, pool_i, visited, disc_d, disc_i
+    return pool_d, pool_i, visited, disc_d, disc_i, scanned
 
 
 @functools.partial(
@@ -1231,19 +1312,23 @@ def query_search_resume(kind, metric, values, nbr0, nbr_up, up_slot, qs,
         [disc_d[:, keep:], jnp.full((nq, keep), jnp.inf, jnp.float32)], axis=1)
     rest_i = jnp.concatenate(
         [disc_i[:, keep:], jnp.full((nq, keep), -1, jnp.int32)], axis=1)
-    pool_d, pool_i, visited, (disc_d, disc_i), _ = search_layer(
+    pool_d, pool_i, visited, (disc_d, disc_i), _, scanned = search_layer(
         score, lambda e: nbrs(e, jnp.int32(0)), qs, seed_d, seed_i,
         visited, ef=ef, lm=2 * m, max_steps=8 * ef + 64, expand=expand,
         disc=(rest_d, rest_i),
     )
-    return pool_d, pool_i, visited, disc_d, disc_i
+    return pool_d, pool_i, visited, disc_d, disc_i, scanned
 
 
 def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                       row_valid, fmask, qs, entry, entry_level, ef: int,
                       m: int, l_unroll: int, k: int, heaptids: int,
-                      expand: int = 1, vmode: str = "hash2"):
-    """CPU variant of Algorithm 5 with host-driven loops."""
+                      expand: int = 1, vmode: str = "hash2",
+                      packed_vals=None, rerank: bool = False):
+    """CPU variant of Algorithm 5 with host-driven loops.  The packed-
+    adjacency path is a device-gather optimization; the host driver always
+    scores via row gathers (packed_vals/rerank accepted for signature
+    parity, ignored)."""
     nq = qs.shape[0] if not isinstance(qs, tuple) else qs[0].shape[0]
     entry_arr = jnp.full((nq,), entry, jnp.int32)
     cur_d = score_block(kind, metric, values, qs, entry_arr[:, None])[:, 0]
