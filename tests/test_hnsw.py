@@ -219,3 +219,58 @@ def test_iterative_scan_resumption_contract(data):
     # every returned row passes the filter
     for r in (r_rel, r_str):
         assert all(x % 25 == 0 for x in r[r >= 0].ravel())
+
+
+def test_packed_scan_matches_row_gather(data, monkeypatch):
+    """The adjacency-packed layer-0 scan is a gather-layout optimization —
+    with f32 packing it must return EXACTLY the classic path's results
+    (same pool admissions, same distances); with bf16 packing + exact
+    re-rank it must stay within the recall floor."""
+    db, q = data
+    table, idx = build(db, Metric.L2, beam_expand=4)
+    monkeypatch.setenv("PGVECTOR_TPU_PACKED_SCAN", "off")
+    d0, r0 = idx.search(q, 10, ef_search=40)
+    monkeypatch.setenv("PGVECTOR_TPU_PACKED_SCAN", "f32")
+    d1, r1 = idx.search(q, 10, ef_search=40)
+    assert np.array_equal(r0, r1)
+    assert np.allclose(d0, d1, rtol=0, atol=0, equal_nan=True)
+    # bf16 + rerank: same exact final distances for whatever it returns,
+    # and recall stays above the build floor
+    monkeypatch.setenv("PGVECTOR_TPU_PACKED_SCAN", "bf16")
+    idx._nbr_vals = None
+    d2, r2 = idx.search(q, 10, ef_search=80)
+    _, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    assert recall_at_k(r2, e_i) >= 0.92
+    # re-ranked distances are exact f32 values for the returned rows
+    flat_d, flat_i = FlatIndex(table, Metric.L2).search(q, 1000)
+    lut = {(qi, int(r)): flat_d[qi][list(flat_i[qi]).index(r)]
+           for qi in range(len(q)) for r in r2[qi] if r >= 0}
+    for qi in range(len(q)):
+        for j, r in enumerate(r2[qi]):
+            if r >= 0:
+                assert abs(d2[qi, j] - lut[(qi, int(r))]) < 1e-5
+
+
+def test_packed_scan_invalidated_by_mutation(data, monkeypatch):
+    """Inserts/vacuum rewrite neighbor lists — the packed copy must be
+    rebuilt, not served stale."""
+    db, q = data
+    monkeypatch.setenv("PGVECTOR_TPU_PACKED_SCAN", "f32")
+    table = DenseTable(db.shape[1])
+    rows1 = table.insert(db[:800])
+    idx = HNSWIndex(table, Metric.L2, m=8, ef_construction=32,
+                    wave_size=128, beam_expand=4)
+    idx.search(q, 5)  # builds the packed copy
+    rows2 = table.insert(db[800:])
+    idx.insert(rows2)
+    _, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    _, r = idx.search(q, 10, ef_search=80)
+    assert recall_at_k(r, e_i) >= 0.92
+    # new rows must be findable (stale packed copy would miss them)
+    new_set = set(int(x) for x in rows2)
+    assert any(int(x) in new_set for row in r for x in row)
+    table.delete(rows1[:200])
+    idx.vacuum()
+    _, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    _, r = idx.search(q, 10, ef_search=80)
+    assert recall_at_k(r, e_i) >= 0.90
