@@ -282,6 +282,13 @@ class IVFFlatIndex:
     #: rows per contiguous value block — the probe scan's gather unit
     POST_BLOCK = 512
 
+    #: use the inverted (query-grouped) scan when the probed coverage is
+    #: high enough that streaming every list's slab beats gathering — the
+    #: gather engine moves ~6 GB/s on 256 KB blocks while dynamic_slice
+    #: streams at HBM bandwidth (BENCH_NOTES.md), so inversion wins down
+    #: to a few percent coverage
+    INVERT_COVERAGE = 32
+
     def _refresh_post_values(self) -> None:
         """Materialize the index's own value copy in *posting order* —
         the TPU analogue of the reference's entry pages, which store each
@@ -307,6 +314,13 @@ class IVFFlatIndex:
             pv = (pvf / jnp.maximum(nrm, 1e-30)).astype(pv.dtype)
         w = pv.shape[-1]
         self.post_values = pv.reshape(self.lists * (cap // cs), cs, w)
+        # |v|² per posting slot (f32, from the stored values) — feeds the
+        # inverted scan's L2 form without re-reducing the slab per call
+        if not self._is_bit:
+            pvf = pv.astype(jnp.float32)
+            self.post_vsq = jnp.sum(pvf * pvf, axis=-1)  # (lists, cap)
+        else:
+            self.post_vsq = None
 
     # ----------------------------------------------------------------- insert
     def insert(self, rows) -> None:
@@ -365,6 +379,12 @@ class IVFFlatIndex:
             nrm = jnp.sqrt(jnp.sum(vf * vf, axis=-1, keepdims=True))
             v = (vf / jnp.maximum(nrm, 1e-30)).astype(v.dtype)
         self.post_values = self.post_values.at[blk, off_in].set(v)
+        if not self._is_bit:
+            vf32 = v.astype(jnp.float32)
+            self.post_vsq = self.post_vsq.at[
+                jnp.asarray(sa.astype(np.int32)),
+                jnp.asarray(pos.astype(np.int32)),
+            ].set(jnp.sum(vf32 * vf32, axis=-1))
 
     # ----------------------------------------------------------------- vacuum
     def vacuum(self) -> None:
@@ -481,11 +501,74 @@ class IVFFlatIndex:
         return order
 
     def _probe_batch(self, qs, order, off, batch, k, valid, fmask):
-        """GetScanItems for one probe window (ivfscan.c:123-187) — gather
-        whole contiguous (POST_BLOCK, dim) value blocks of the selected
-        lists from the posting-ordered value copy, score, running top-k.
-        Block gathers stream at near-HBM bandwidth where the old per-row
-        gather was latency-bound (352 → multi-k qps at 1M, probes=10)."""
+        """GetScanItems for one probe window (ivfscan.c:123-187).
+
+        Two device formulations, picked by probe coverage:
+
+        - *inverted* (high coverage): group queries BY PROBED LIST, then
+          stream every list's contiguous slab once via dynamic_slice and
+          score it against all of its probing queries in one batched
+          matmul — zero value gathers.  Total value traffic is one table
+          read per batch regardless of Q, so large batches amortize to
+          ~N/Q rows per query.
+        - *block-gather* (low coverage): gather whole (POST_BLOCK, dim)
+          blocks of just the selected lists (round-2 path).
+        """
+        nq = qs.shape[0]
+        if (not self._is_bit
+                and nq * batch * self.INVERT_COVERAGE >= self.lists):
+            return self._probe_batch_inverted(
+                qs, order, off, batch, k, valid, fmask)
+        return self._probe_batch_blocks(qs, order, off, batch, k, valid, fmask)
+
+    def _probe_batch_inverted(self, qs, order, off, batch, k, valid, fmask):
+        """Per-list inversion of the probe scan (BENCH_NOTES.md roadmap #1).
+
+        The reference scans each probed list's entry pages per query
+        (ivfscan.c:123-187); with thousands of concurrent queries the same
+        list is probed by many of them, so the TPU form flips the loop:
+        one pass over all lists, each list's slab read once (contiguous —
+        streams at HBM bandwidth) and scored against the up-to-``qcap``
+        queries that probed it.  ``qcap`` is the max queries-per-list of
+        this window, bucketed to a power of two to bound jit variants."""
+        nq = qs.shape[0]
+        sel = jax.lax.dynamic_slice(order, (0, off), (nq, batch))
+        # host-side max queries-per-list → static qcap bucket
+        counts = np.bincount(np.asarray(sel).reshape(-1), minlength=self.lists)
+        qcap = _next_pow2(max(int(counts.max()), 8))
+        cap = self.postings.shape[1]
+        w = self.post_values.shape[-1]
+        # list-chunk size: bound the (LC, qcap, cap) score block to ~64 MB
+        lc = max(1, (1 << 24) // max(qcap * cap, 1))
+        lc = min(_next_pow2(lc), self.lists)
+        while self.lists % lc:
+            lc //= 2
+        if fmask is None:
+            fmask = jnp.ones(self.table.capacity, jnp.bool_)
+        # slot-order validity: the kernel works in (list, slot) space and
+        # never touches row ids until the end, so deletes/filters must be
+        # expressed per posting slot.  Fast path: nothing dead, no filter →
+        # ok ≡ slot occupied (postings >= 0), no gather at all.
+        if fmask is None and not bool(
+                jnp.any(~valid[: self.table.count])):
+            ok_post = self.postings >= 0
+        else:
+            fm = fmask if fmask is not None else \
+                jnp.ones(self.table.capacity, jnp.bool_)
+            safe = jnp.maximum(self.postings, 0)
+            ok_post = (self.postings >= 0) & valid[safe] & fm[safe]
+        d, vids = _inverted_probe_topk(
+            self.metric, self.post_values.reshape(self.lists, cap, w),
+            self.post_vsq, ok_post, qs, sel, k=k, qcap=qcap, lc=lc,
+        )
+        # virtual (list·cap + slot) → row ids, one (Q, k) gather at the end
+        rows = self.postings.reshape(-1)[jnp.maximum(vids, 0)]
+        return d, jnp.where(vids >= 0, rows, -1)
+
+    def _probe_batch_blocks(self, qs, order, off, batch, k, valid, fmask):
+        """Block-gather probe scan (round-2 path): gather whole contiguous
+        (POST_BLOCK, dim) value blocks of the selected lists from the
+        posting-ordered value copy, score, running top-k."""
         t = self.table
         nq = qs.shape[0]
         sel = jax.lax.dynamic_slice(
@@ -515,6 +598,106 @@ class IVFFlatIndex:
             self.postings.reshape(-1, cs), qrep, selb, valid, fmask, k,
             n_chunks,
         )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "k", "qcap", "lc")
+)
+def _inverted_probe_topk(metric, post_values, post_vsq, ok_post, qs, sel,
+                         k: int, qcap: int, lc: int):
+    """Query-grouped probe scan: (Q, B) probed list ids → per-query
+    smallest-k (distances, virtual ids), where a virtual id is
+    ``list·cap + slot`` (the caller translates to row ids with one final
+    gather — no gathers run inside the scan loop, where this toolchain
+    has miscompiled gather-behind-top_k fusions before).
+
+    Steps:
+    1. sort the (q → list) edge list by list; slot each edge into a
+       (lists, qcap) query matrix (the device analogue of the reference's
+       per-query pairingheap of probed lists, ivfscan.c:47-118).
+    2. lax.scan over list chunks: dynamic_slice the chunk's value slabs
+       (contiguous → streams at HBM bandwidth), one batched matmul against
+       the chunk's probing queries, top-k per (list, query) over the slab.
+    3. un-invert: per original edge, read back its (list, slot) top-k,
+       regroup per query, merge.
+    """
+    nq, batch = sel.shape
+    lists, cap, w = post_values.shape
+    e = nq * batch
+    # --- 1. invert --------------------------------------------------------
+    l_of_e = sel.reshape(-1).astype(jnp.int32)
+    eid = jnp.arange(e, dtype=jnp.int32)
+    sl, se = jax.lax.sort((l_of_e, eid), num_keys=1)
+    newrun = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sl[1:] != sl[:-1]])
+    idx = jnp.arange(e, dtype=jnp.int32)
+    pos = idx - jax.lax.cummax(jnp.where(newrun, idx, 0))
+    edge_q = jnp.full((lists, qcap), -1, jnp.int32).at[sl, pos].set(
+        se // batch, mode="drop")
+    # inverse map: original edge → its slot position within its list
+    _, pos_of_e = jax.lax.sort((se, pos), num_keys=1)
+
+    # --- 2. chunked list scan --------------------------------------------
+    if metric is Metric.L2:
+        qsq = jnp.sum(qs.astype(jnp.float32) ** 2, axis=1)
+    kk = min(k, cap)
+    n_steps = lists // lc
+
+    def step(carry, c):
+        out_d, out_p = carry
+        base = c * lc
+        eq = jax.lax.dynamic_slice(edge_q, (base, 0), (lc, qcap))
+        qv = qs[jnp.maximum(eq, 0)].astype(jnp.float32)  # (lc, qcap, D)
+        vals = jax.lax.dynamic_slice(
+            post_values, (base, 0, 0), (lc, cap, w)).astype(jnp.float32)
+        okc = jax.lax.dynamic_slice(ok_post, (base, 0), (lc, cap))
+        ip = jax.lax.dot_general(
+            qv, vals,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=D.dot_precision(),
+        )  # (lc, qcap, cap)
+        if metric is Metric.L2:
+            vsq = jax.lax.dynamic_slice(post_vsq, (base, 0), (lc, cap))
+            qsq_c = qsq[jnp.maximum(eq, 0)]
+            s = jnp.maximum(qsq_c[:, :, None] - 2.0 * ip + vsq[:, None, :],
+                            0.0)
+        else:  # IP / normalized-cosine order by -ip
+            s = -ip
+        s = jnp.where(okc[:, None, :], s, jnp.inf)
+        neg, p = jax.lax.top_k(-s.reshape(lc * qcap, cap), kk)
+        if kk < k:
+            neg = jnp.concatenate(
+                [neg, jnp.full((lc * qcap, k - kk), -jnp.inf, neg.dtype)],
+                axis=1)
+            p = jnp.concatenate(
+                [p, jnp.zeros((lc * qcap, k - kk), p.dtype)], axis=1)
+        d_blk = (-neg).reshape(lc, qcap, k)
+        p_blk = p.reshape(lc, qcap, k).astype(jnp.int32)
+        out_d = jax.lax.dynamic_update_slice(out_d, d_blk, (base, 0, 0))
+        out_p = jax.lax.dynamic_update_slice(out_p, p_blk, (base, 0, 0))
+        return (out_d, out_p), None
+
+    init = (jnp.full((lists, qcap, k), jnp.inf, jnp.float32),
+            jnp.full((lists, qcap, k), 0, jnp.int32))
+    (out_d, out_p), _ = jax.lax.scan(
+        step, init, jnp.arange(n_steps, dtype=jnp.int32))
+
+    # --- 3. un-invert -----------------------------------------------------
+    flat_idx = l_of_e * qcap + pos_of_e  # (E,)
+    d_e = out_d.reshape(lists * qcap, k)[flat_idx]   # (E, k) row gather
+    p_e = out_p.reshape(lists * qcap, k)[flat_idx]
+    v_e = l_of_e[:, None] * cap + p_e                # virtual ids
+    v_e = jnp.where(jnp.isinf(d_e), -1, v_e)
+    d_q = d_e.reshape(nq, batch * k)
+    v_q = v_e.reshape(nq, batch * k)
+    negq, selq = jax.lax.top_k(-d_q, k)
+    d_out = -negq
+    # gather-free id pick (one-hot over batch·k — small)
+    col = jnp.arange(batch * k, dtype=jnp.int32)
+    hit = col[None, None, :] == selq[:, :, None]
+    v_out = jnp.sum(jnp.where(hit, v_q[:, None, :], 0), axis=2)
+    return d_out, jnp.where(jnp.isinf(d_out), -1, v_out)
 
 
 @functools.partial(

@@ -158,3 +158,31 @@ def test_filtered_search(dense_data):
     fmask[:100] = True
     _, i = idx.search(q, 5, probes=10, filter_mask=fmask)
     assert ((i >= 0) <= (i < 100)).all()
+
+
+def test_inverted_vs_block_probe_equivalence(dense_data):
+    """The inverted (query-grouped) scan and the block-gather scan are two
+    formulations of GetScanItems (ivfscan.c:123-187) — same probed lists,
+    same distances, same rows, including deletes and filter masks."""
+    db, q = dense_data
+    for metric in (Metric.L2, Metric.IP, Metric.COSINE):
+        table = DenseTable(16)
+        rows = table.insert(db)
+        idx = IVFFlatIndex(table, metric, lists=20, seed=3)
+        table.delete(rows[::7])  # deletes visible before any vacuum
+        fmask = np.ones(table.capacity, bool)
+        fmask[rows[::3]] = False
+        for f in (None, fmask):
+            cov = IVFFlatIndex.INVERT_COVERAGE
+            try:
+                IVFFlatIndex.INVERT_COVERAGE = 10**9  # force inverted
+                d_inv, i_inv = idx.search(q, 10, probes=6, filter_mask=f)
+                IVFFlatIndex.INVERT_COVERAGE = 0  # force the block path
+                d_blk, i_blk = idx.search(q, 10, probes=6, filter_mask=f)
+            finally:
+                IVFFlatIndex.INVERT_COVERAGE = cov
+            assert np.allclose(d_inv, d_blk, rtol=1e-4, atol=1e-4), metric
+            # row sets must match wherever distances are distinct
+            for r_a, r_b, dd in zip(i_inv, i_blk, d_inv):
+                assert set(r_a[np.isfinite(dd)]) == set(
+                    r_b[np.isfinite(dd)]), metric
