@@ -43,13 +43,21 @@ def _coerce_dense_queries(q, dim: int) -> jnp.ndarray:
 
 class FlatIndex:
     """Exact top-k over a table.  Stateless w.r.t. the table's contents —
-    always sees the current rows + validity mask."""
+    always sees the current rows + validity mask.
+
+    ``last_path`` records which engine served the previous dense search
+    ("pallas" or "xla") — the remote Mosaic compile service is flaky, and a
+    silent fallback once turned a 39 s ground-truth pass into 291 s with no
+    signal (BENCH_r02).  Failures now log through ``notice_hook`` and the
+    Pallas path retries once before falling back."""
 
     def __init__(self, table: Union[DenseTable, BitTable, SparseTable],
-                 metric: Metric, tile: int = 8192):
+                 metric: Metric, tile: int = 8192, notice_hook=None):
         self.table = table
         self.metric = metric
         self.tile = tile
+        self.notice_hook = notice_hook or (lambda msg: None)
+        self.last_path: str = ""
         if isinstance(table, DenseTable) and metric not in DENSE_METRICS:
             raise DataException(f"operator {metric.op} does not apply to dense vectors")
         if isinstance(table, BitTable) and metric not in BIT_METRICS:
@@ -69,16 +77,27 @@ class FlatIndex:
                 and table.dtype == jnp.float32 and table.count >= 4096
                 and k <= 64):
             # fused Pallas path: matmul + in-VMEM top-k, DB streamed by the
-            # grid pipeline (no (Q, N) score block in HBM).  Fail-safe: any
-            # compile/runtime error falls back to the XLA scan (the remote
-            # Mosaic compile service can be flaky).
-            try:
-                return pallas_topk.exact_topk(
-                    metric, qs, table.data[: table.count], k,
-                    valid=table.valid[: table.count],
-                )
-            except Exception:
-                pass
+            # grid pipeline (no (Q, N) score block in HBM).  Fail-safe: one
+            # retry (the remote Mosaic compile service intermittently 500s
+            # on kernels it compiled fine minutes earlier), then a LOGGED
+            # fallback to the XLA scan — never a silent one.
+            for attempt in (1, 2):
+                try:
+                    out = pallas_topk.exact_topk(
+                        metric, qs, table.data[: table.count], k,
+                        valid=table.valid[: table.count],
+                    )
+                    self.last_path = "pallas"
+                    return out
+                except Exception as exc:  # noqa: BLE001 — any device error
+                    self.notice_hook(
+                        f"exact-search Pallas path failed "
+                        f"(attempt {attempt}/2): {type(exc).__name__}: {exc}"
+                    )
+            self.notice_hook(
+                "exact-search falling back to the XLA tiled scan"
+            )
+        self.last_path = "xla"
 
         def score(tile_data):
             return D.dense_scores(metric, qs, tile_data)
