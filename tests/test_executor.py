@@ -59,3 +59,74 @@ def test_shutdown_rejects():
     ex.shutdown()
     with pytest.raises(RuntimeError):
         ex.submit(np.zeros(4, np.float32), 1)
+
+
+def test_writer_serialized_with_reads():
+    """The single-writer contract (test/t/016 + 046-048 methodology):
+    reader threads hammer searches while inserts and a vacuum flow through
+    submit_write().  Every resolved result must be internally consistent —
+    each (distance, row) pair matches the row's true stored vector (a torn
+    read of mid-mutation index state would break the pairing) — and the
+    final state equals exact search."""
+    from pgvector_tpu.index.hnsw import HNSWIndex
+
+    rng = np.random.default_rng(99)
+    db = rng.normal(size=(1200, 8)).astype(np.float32)
+    table = DenseTable(8)
+    rows0 = table.insert(db[:600])
+    idx = HNSWIndex(table, Metric.L2, m=8, ef_construction=32,
+                    wave_size=128, beam_expand=4)
+    ex = BatchingExecutor(idx, max_batch=8, max_wait_ms=1)
+    queries = db[:24] + 0.01
+    stop = threading.Event()
+    failures = []
+
+    def reader(j):
+        while not stop.is_set():
+            try:
+                d, r = ex.search(queries[j % 24], 5, timeout=120)
+            except Exception as exc:  # pragma: no cover
+                failures.append(exc)
+                return
+            for dd, rr in zip(d, r):
+                if rr < 0:
+                    continue
+                true = np.sqrt(((queries[j % 24]
+                                 - db[int(rr)]) ** 2).sum())
+                if abs(dd - true) > 1e-3:
+                    failures.append(
+                        AssertionError(f"torn read: row {rr} d={dd} true={true}"))
+                    return
+
+    readers = [threading.Thread(target=reader, args=(j,)) for j in range(4)]
+    for t in readers:
+        t.start()
+    try:
+        # interleave inserts and a vacuum through the serialized write path
+        for s in range(600, 1200, 200):
+            chunk = db[s: s + 200]
+
+            def do_insert(index, chunk=chunk):
+                rows = table.insert(chunk)
+                index.insert(rows)
+                return rows
+
+            ex.write(do_insert, timeout=300)
+
+        def do_vacuum(index):
+            table.delete(rows0[:100])
+            index.vacuum()
+
+        ex.write(do_vacuum, timeout=300)
+    finally:
+        stop.set()
+        for t in readers:
+            t.join(timeout=60)
+        ex.shutdown()
+    assert not failures, failures[:3]
+    # final state matches exact search
+    exact_d, exact_i = FlatIndex(table, Metric.L2).search(queries, 5)
+    d, r = idx.search(queries, 5, ef_search=64)
+    hits = sum(len(set(map(int, a)) & set(map(int, e)))
+               for a, e in zip(r, exact_i))
+    assert hits / (5 * len(queries)) >= 0.9
