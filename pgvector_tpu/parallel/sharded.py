@@ -244,21 +244,12 @@ class ShardedIVFFlatIndex(_ShardedWrapper):
                  seed: int = 0):
         super().__init__(n_shards)
         from ..index.ivfflat import IVFFlatIndex
-        from ..store.table import DenseTable
-        from .mesh import shard_rows
 
         self.metric = metric
-        n = table.count
-        data = np.asarray(table.data[:n])
-        valid = np.asarray(table.valid[:n])
-        for lo, hi in shard_rows(n, n_shards):
-            sub = DenseTable(table.dim, dtype=table.dtype,
-                             capacity=max(hi - lo, 8))
-            rows = sub.insert(data[lo:hi])
-            if not valid[lo:hi].all():
-                sub.delete(rows[~valid[lo:hi]])
-            self.shards.append(IVFFlatIndex(sub, metric, lists=lists, seed=seed))
-            self.offsets.append(lo)
+        self.shards, self.subs, g_rows = _build_shards(
+            table, n_shards,
+            lambda sub: IVFFlatIndex(sub, metric, lists=lists, seed=seed))
+        self.offsets = [int(g[0]) if len(g) else 0 for g in g_rows]
 
     def search(self, qs, k: int, probes: Optional[int] = None):
         results = [s.search(qs, k, probes=probes) for s in self.shards]
@@ -272,24 +263,14 @@ class ShardedHNSWIndex(_ShardedWrapper):
                  ef_construction: int = 64, seed: int = 0, **kw):
         super().__init__(n_shards)
         from ..index.hnsw import HNSWIndex
-        from ..store.table import DenseTable
-        from .mesh import shard_rows
 
         self.metric = metric
-        n = table.count
-        data = np.asarray(table.data[:n])
-        valid = np.asarray(table.valid[:n])
-        for lo, hi in shard_rows(n, n_shards):
-            sub = DenseTable(table.dim, dtype=table.dtype,
-                             capacity=max(hi - lo, 8))
-            rows = sub.insert(data[lo:hi])
-            if not valid[lo:hi].all():
-                sub.delete(rows[~valid[lo:hi]])
-            self.shards.append(
-                HNSWIndex(sub, metric, m=m, ef_construction=ef_construction,
-                          seed=seed, **kw)
-            )
-            self.offsets.append(lo)
+        self.shards, self.subs, g_rows = _build_shards(
+            table, n_shards,
+            lambda sub: HNSWIndex(sub, metric, m=m,
+                                  ef_construction=ef_construction,
+                                  seed=seed, **kw))
+        self.offsets = [int(g[0]) if len(g) else 0 for g in g_rows]
 
     def search(self, qs, k: int, ef_search: Optional[int] = None):
         results = [s.search(qs, k, ef_search=ef_search) for s in self.shards]
@@ -305,11 +286,14 @@ class ShardedHNSWIndex(_ShardedWrapper):
 # ---------------------------------------------------------------------------
 
 
-def _pad_to(a: jnp.ndarray, n: int, fill) -> jnp.ndarray:
-    if a.shape[0] == n:
+def _pad_to(a: jnp.ndarray, shape, fill) -> jnp.ndarray:
+    """Pad ``a`` with ``fill`` up to ``shape`` in every dimension (shards
+    grow independently — capacity doublings and posting-cap growth can
+    desynchronize ANY axis, not just the leading one)."""
+    if tuple(a.shape) == tuple(shape):
         return a
-    pad = jnp.full((n - a.shape[0],) + a.shape[1:], fill, a.dtype)
-    return jnp.concatenate([a, pad], axis=0)
+    out = jnp.full(shape, fill, a.dtype)
+    return jax.lax.dynamic_update_slice(out, a, (0,) * a.ndim)
 
 
 def _stack_sharded(mesh: Mesh, axis: str, blocks, fill) -> jnp.ndarray:
@@ -317,10 +301,47 @@ def _stack_sharded(mesh: Mesh, axis: str, blocks, fill) -> jnp.ndarray:
     (S, ...) array placed shard-per-device on the mesh."""
     from jax.sharding import NamedSharding
 
-    n = max(b.shape[0] for b in blocks)
-    stacked = jnp.stack([_pad_to(jnp.asarray(b), n, fill) for b in blocks])
+    blocks = [jnp.asarray(b) for b in blocks]
+    shape = tuple(max(b.shape[d] for b in blocks)
+                  for d in range(blocks[0].ndim))
+    stacked = jnp.stack([_pad_to(b, shape, fill) for b in blocks])
     spec = P(axis, *([None] * (stacked.ndim - 1)))
     return jax.device_put(stacked, NamedSharding(mesh, spec))
+
+
+def _build_shards(table, n_shards: int, make_index, parallel: bool = True):
+    """Partition the table into contiguous row ranges and build one
+    sub-index per range — CONCURRENTLY.  The reference parallelizes one
+    build across DSM workers (HnswBeginParallel, hnswbuild.c:925-1062);
+    here each shard's build is an independent stream of device programs,
+    so a thread per shard keeps every shard's dispatch queue full (host
+    bookkeeping interleaves under the GIL; device work overlaps).
+
+    Returns (indexes, sub_tables, g_rows) where ``g_rows[s]`` maps shard
+    ``s``'s local row ids to global table row ids."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..store.table import DenseTable
+    from .mesh import shard_rows
+
+    n = table.count
+    data = np.asarray(table.data[:n])
+    valid = np.asarray(table.valid[:n])
+    subs, g_rows = [], []
+    for lo, hi in shard_rows(n, n_shards):
+        sub = DenseTable(table.dim, dtype=table.dtype,
+                         capacity=max(hi - lo, 8))
+        rows = sub.insert(data[lo:hi])
+        if not valid[lo:hi].all():
+            sub.delete(rows[~valid[lo:hi]])
+        subs.append(sub)
+        g_rows.append(np.arange(lo, hi, dtype=np.int32))
+    if parallel and n_shards > 1:
+        with ThreadPoolExecutor(max_workers=n_shards) as pool:
+            shards = list(pool.map(make_index, subs))
+    else:
+        shards = [make_index(s) for s in subs]
+    return shards, subs, g_rows
 
 
 class DeviceShardedHNSWIndex:
@@ -332,40 +353,48 @@ class DeviceShardedHNSWIndex:
     with the replicated query batch, converts element rows to global row
     ids, and the per-shard top-k candidates merge with an all_gather over
     ICI — the device-placed replacement for the round-1 host fan-out loop
-    (the Citus-sharded deployment pattern, README.md:758-760)."""
+    (the Citus-sharded deployment pattern, README.md:758-760).
+
+    The per-shard single-chip indexes are retained, so the full lifecycle
+    works sharded: ``insert`` routes new rows to the least-loaded shard,
+    ``vacuum`` propagates deletes and repairs every shard's graph, and
+    ``save``/``load`` checkpoint shard-by-shard (replication as state
+    transfer, test/t/001 methodology)."""
 
     def __init__(self, mesh: Mesh, table, metric: Metric, axis: str = "shard",
-                 m: int = 16, ef_construction: int = 64, seed: int = 0, **kw):
+                 m: int = 16, ef_construction: int = 64, seed: int = 0,
+                 _defer_build: bool = False, **kw):
         from ..index.hnsw import HEAPTIDS, HNSWIndex
-        from ..store.table import DenseTable
-        from .mesh import shard_rows
 
         self.mesh = mesh
         self.axis = axis
         self.metric = metric
         self.m = m
+        self.ef_construction = ef_construction
+        self.seed = seed
         self.heaptids = HEAPTIDS
-        n_shards = mesh.shape[axis]
         self.table = table
-        n = table.count
-        data = np.asarray(table.data[:n])
-        valid = np.asarray(table.valid[:n])
-        shards, offsets = [], []
-        for lo, hi in shard_rows(n, n_shards):
-            sub = DenseTable(table.dim, dtype=table.dtype,
-                             capacity=max(hi - lo, 8))
-            rows = sub.insert(data[lo:hi])
-            if not valid[lo:hi].all():
-                sub.delete(rows[~valid[lo:hi]])
-            shards.append(HNSWIndex(sub, metric, m=m,
-                                    ef_construction=ef_construction,
-                                    seed=seed, **kw))
-            offsets.append(lo)
+        self._search_cache = {}
+        if _defer_build:  # load() fills shards itself
+            return
+
+        def make_index(sub):
+            return HNSWIndex(sub, metric, m=m,
+                             ef_construction=ef_construction, seed=seed, **kw)
+
+        self.shards, self.subs, self.g_rows = _build_shards(
+            table, mesh.shape[axis], make_index)
+        self._restack()
+
+    # ------------------------------------------------------- device placement
+    def _restack(self) -> None:
+        """(Re)place every shard's graph arrays shard-per-device.  Local
+        element rows globalize through g_rows (local row → global row)."""
+        mesh, axis, shards = self.mesh, self.axis, self.shards
         self.kind = shards[0].kind
-        self._l_unroll = shards[0]._l_unroll
+        self._l_unroll = max(s._l_unroll for s in shards)
         for s in shards:
             s._sync_device_meta()
-        # stack + place per-shard arrays; elem_rows globalized with offsets
         self.values = tuple(
             _stack_sharded(mesh, axis, [s.values[j] for s in shards], 0)
             for j in range(len(shards[0].values))
@@ -375,9 +404,12 @@ class DeviceShardedHNSWIndex:
         self.up_slot = _stack_sharded(
             mesh, axis, [s._up_slot_dev for s in shards], -1)
         glob_rows = []
-        for s, off in zip(shards, offsets):
-            er = s.elem_rows.astype(np.int32)
-            glob_rows.append(np.where(er >= 0, er + off, -1))
+        for s, g in zip(shards, self.g_rows):
+            er = s.elem_rows.astype(np.int64)
+            g_pad = np.concatenate([g.astype(np.int64), [-1]])
+            glob_rows.append(
+                np.where(er >= 0, g_pad[np.minimum(er, len(g) - 1)], -1)
+                .astype(np.int32))
         self.elem_rows = _stack_sharded(mesh, axis, glob_rows, -1)
         self.entry = _stack_sharded(
             mesh, axis, [np.asarray([s.entry], np.int32) for s in shards], -1
@@ -388,6 +420,88 @@ class DeviceShardedHNSWIndex:
         )[:, 0]
         self._search_cache = {}
 
+    # ------------------------------------------------------------- mutations
+    def insert(self, rows) -> None:
+        """aminsert, sharded: each new global row goes to the least-loaded
+        shard (insert-time balancing; the reference's analogue is Citus
+        routing rows by distribution key)."""
+        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        data = np.asarray(self.table.data[rows])
+        loads = np.array([sub.count for sub in self.subs])
+        # round-robin from the least-loaded shard for a balanced batch
+        order = np.argsort(loads, kind="stable")
+        pick = order[np.arange(len(rows)) % len(self.subs)]
+        for s in range(len(self.subs)):
+            sel = pick == s
+            if not sel.any():
+                continue
+            local = self.subs[s].insert(data[sel])
+            self.shards[s].insert(local)
+            self.g_rows[s] = np.concatenate(
+                [self.g_rows[s], rows[sel].astype(np.int32)])
+        self._restack()
+
+    def vacuum(self) -> None:
+        """Propagate global deletes to every shard, then run each shard's
+        4-pass repair (hnswvacuum.c:777-797)."""
+        valid = np.asarray(self.table.valid)
+        for s, sub, g in zip(self.shards, self.subs, self.g_rows):
+            sub_valid = np.asarray(sub.valid[: sub.count])
+            dead = np.flatnonzero(sub_valid & ~valid[g])
+            if len(dead):
+                sub.delete(dead)
+            s.vacuum()
+        self._restack()
+
+    # ------------------------------------------------------------ checkpoint
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        from ..io import checkpoint as ckpt
+
+        os.makedirs(path, exist_ok=True)
+        for j, (s, sub, g) in enumerate(
+                zip(self.shards, self.subs, self.g_rows)):
+            ckpt.save_table(sub, os.path.join(path, f"shard{j}_table"))
+            ckpt.save_hnsw(s, os.path.join(path, f"shard{j}_index"))
+            np.save(os.path.join(path, f"shard{j}_grows.npy"), g)
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump({"magic": ckpt.MAGIC, "version": ckpt.FORMAT_VERSION,
+                       "object": "sharded_hnsw",
+                       "n_shards": len(self.shards),
+                       "metric": self.metric.name, "m": self.m,
+                       "ef_construction": self.ef_construction,
+                       "seed": self.seed}, f)
+
+    @classmethod
+    def load(cls, mesh: Mesh, table, path: str, axis: str = "shard"):
+        import json
+        import os
+
+        from ..io import checkpoint as ckpt
+
+        with open(os.path.join(path, "manifest.json")) as f:
+            man = json.load(f)
+        if man.get("object") != "sharded_hnsw":
+            from ..errors import DataException
+
+            raise DataException("expected a sharded_hnsw checkpoint")
+        self = cls(mesh, table, Metric[man["metric"]], axis=axis,
+                   m=man["m"], ef_construction=man["ef_construction"],
+                   seed=man["seed"], _defer_build=True)
+        self.shards, self.subs, self.g_rows = [], [], []
+        for j in range(man["n_shards"]):
+            sub = ckpt.load_table(os.path.join(path, f"shard{j}_table"))
+            idx = ckpt.load_hnsw(sub, os.path.join(path, f"shard{j}_index"))
+            self.subs.append(sub)
+            self.shards.append(idx)
+            self.g_rows.append(
+                np.load(os.path.join(path, f"shard{j}_grows.npy")))
+        self._restack()
+        return self
+
+    # ---------------------------------------------------------------- search
     def _make_search(self, ef: int, k: int, expand: int):
         from ..index import hnsw_kernels as K
 
@@ -460,51 +574,122 @@ class DeviceShardedIVFFlatIndex:
     centroids + posting matrices + vector blocks, one jitted shard_map per
     query batch (probe order → candidate gather → score → local top-k →
     all_gather merge).  Centers are trained per shard (the Citus pattern:
-    every shard runs its own CREATE INDEX)."""
+    every shard runs its own CREATE INDEX).  Shards build concurrently;
+    insert/vacuum/save/load run the full lifecycle sharded."""
 
     def __init__(self, mesh: Mesh, table, metric: Metric, axis: str = "shard",
-                 lists: int = 100, seed: int = 0, **kw):
+                 lists: int = 100, seed: int = 0, _defer_build: bool = False,
+                 **kw):
         from ..index.ivfflat import IVFFlatIndex
-        from ..store.table import DenseTable
-        from .mesh import shard_rows
 
         self.mesh = mesh
         self.axis = axis
         self.metric = metric
         self.lists = lists
+        self.seed = seed
         self.table = table
-        n_shards = mesh.shape[axis]
-        n = table.count
-        data = np.asarray(table.data[:n])
-        valid = np.asarray(table.valid[:n])
-        shards, offsets, blocks = [], [], []
-        for lo, hi in shard_rows(n, n_shards):
-            sub = DenseTable(table.dim, dtype=table.dtype,
-                             capacity=max(hi - lo, 8))
-            rows = sub.insert(data[lo:hi])
-            if not valid[lo:hi].all():
-                sub.delete(rows[~valid[lo:hi]])
-            shards.append(IVFFlatIndex(sub, metric, lists=lists, seed=seed, **kw))
-            offsets.append(lo)
-            blocks.append(np.asarray(sub.data))
-        self.centroids = _stack_sharded(
-            mesh, axis, [s.centroids for s in shards], 0)
-        self.postings = _stack_sharded(
-            mesh, axis, [np.asarray(s.postings) for s in shards], -1)
-        self.data = _stack_sharded(mesh, axis, blocks, 0)
-        self.offsets = _stack_sharded(
-            mesh, axis, [np.asarray([o], np.int32) for o in offsets], 0
-        )[:, 0]
         self._normalized = metric is Metric.COSINE
         self._search_cache = {}
+        if _defer_build:
+            return
+
+        def make_index(sub):
+            return IVFFlatIndex(sub, metric, lists=lists, seed=seed, **kw)
+
+        self.shards, self.subs, self.g_rows = _build_shards(
+            table, mesh.shape[axis], make_index)
+        self._restack()
+
+    def _restack(self) -> None:
+        mesh, axis = self.mesh, self.axis
+        self.centroids = _stack_sharded(
+            mesh, axis, [s.centroids for s in self.shards], 0)
+        self.postings = _stack_sharded(
+            mesh, axis, [np.asarray(s.postings) for s in self.shards], -1)
+        self.data = _stack_sharded(
+            mesh, axis, [np.asarray(sub.data) for sub in self.subs], 0)
+        self.grows = _stack_sharded(mesh, axis, self.g_rows, -1)
+        self._search_cache = {}
+
+    def insert(self, rows) -> None:
+        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        data = np.asarray(self.table.data[rows])
+        loads = np.array([sub.count for sub in self.subs])
+        order = np.argsort(loads, kind="stable")
+        pick = order[np.arange(len(rows)) % len(self.subs)]
+        for s in range(len(self.subs)):
+            sel = pick == s
+            if not sel.any():
+                continue
+            local = self.subs[s].insert(data[sel])
+            self.shards[s].insert(local)
+            self.g_rows[s] = np.concatenate(
+                [self.g_rows[s], rows[sel].astype(np.int32)])
+        self._restack()
+
+    def vacuum(self) -> None:
+        valid = np.asarray(self.table.valid)
+        for s, sub, g in zip(self.shards, self.subs, self.g_rows):
+            sub_valid = np.asarray(sub.valid[: sub.count])
+            dead = np.flatnonzero(sub_valid & ~valid[g])
+            if len(dead):
+                sub.delete(dead)
+            s.vacuum()
+        self._restack()
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        from ..io import checkpoint as ckpt
+
+        os.makedirs(path, exist_ok=True)
+        for j, (s, sub, g) in enumerate(
+                zip(self.shards, self.subs, self.g_rows)):
+            ckpt.save_table(sub, os.path.join(path, f"shard{j}_table"))
+            ckpt.save_ivfflat(s, os.path.join(path, f"shard{j}_index"))
+            np.save(os.path.join(path, f"shard{j}_grows.npy"), g)
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump({"magic": ckpt.MAGIC, "version": ckpt.FORMAT_VERSION,
+                       "object": "sharded_ivfflat",
+                       "n_shards": len(self.shards),
+                       "metric": self.metric.name, "lists": self.lists,
+                       "seed": self.seed}, f)
+
+    @classmethod
+    def load(cls, mesh: Mesh, table, path: str, axis: str = "shard"):
+        import json
+        import os
+
+        from ..io import checkpoint as ckpt
+
+        with open(os.path.join(path, "manifest.json")) as f:
+            man = json.load(f)
+        if man.get("object") != "sharded_ivfflat":
+            from ..errors import DataException
+
+            raise DataException("expected a sharded_ivfflat checkpoint")
+        self = cls(mesh, table, Metric[man["metric"]], axis=axis,
+                   lists=man["lists"], seed=man["seed"], _defer_build=True)
+        self.shards, self.subs, self.g_rows = [], [], []
+        for j in range(man["n_shards"]):
+            sub = ckpt.load_table(os.path.join(path, f"shard{j}_table"))
+            idx = ckpt.load_ivfflat(sub, os.path.join(path, f"shard{j}_index"))
+            self.subs.append(sub)
+            self.shards.append(idx)
+            self.g_rows.append(
+                np.load(os.path.join(path, f"shard{j}_grows.npy")))
+        self._restack()
+        return self
 
     def _make_search(self, probes: int, k: int):
         axis = self.axis
         metric = self.metric
         normalized = self._normalized
 
-        def shard_fn(cent_s, post_s, data_s, off_s, row_valid, fmask, qs):
-            cent, post, data, off = cent_s[0], post_s[0], data_s[0], off_s[0]
+        def shard_fn(cent_s, post_s, data_s, grows_s, row_valid, fmask, qs):
+            cent, post, data, grows = (cent_s[0], post_s[0], data_s[0],
+                                       grows_s[0])
             # probe order (GetScanLists): distance to local centers
             ip = jax.lax.dot_general(
                 qs, cent, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -518,9 +703,9 @@ class DeviceShardedIVFFlatIndex:
                 cscore = c_sq[None, :] - 2.0 * ip
             _, order = jax.lax.top_k(-cscore, probes)  # (Q, P)
             cand = post[order].reshape(qs.shape[0], -1)  # (Q, C) local ids
-            gcand = jnp.where(cand >= 0, cand + off, -1)
+            gcand = jnp.where(cand >= 0, grows[jnp.maximum(cand, 0)], -1)
             safe_g = jnp.maximum(gcand, 0)
-            ok = (cand >= 0) & row_valid[safe_g] & fmask[safe_g]
+            ok = (gcand >= 0) & row_valid[safe_g] & fmask[safe_g]
             v = data[jnp.maximum(cand, 0)].astype(jnp.float32)  # (Q, C, Dm)
             if normalized:
                 nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
@@ -550,7 +735,7 @@ class DeviceShardedIVFFlatIndex:
         fn = jax.shard_map(
             shard_fn, mesh=self.mesh,
             in_specs=(P(axis, None, None), P(axis, None, None),
-                      P(axis, None, None), P(axis),
+                      P(axis, None, None), P(axis, None),
                       P(None), P(None), P(None, None)),
             out_specs=(P(None, None), P(None, None)),
             check_vma=False,
@@ -574,7 +759,7 @@ class DeviceShardedIVFFlatIndex:
         row_valid = self.table.valid
         fmask = jnp.ones(self.table.capacity, jnp.bool_)
         d, r = self._search_cache[key](
-            self.centroids, self.postings, self.data, self.offsets,
+            self.centroids, self.postings, self.data, self.grows,
             row_valid, fmask, qs,
         )
         if self.metric is Metric.L2:

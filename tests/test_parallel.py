@@ -143,3 +143,45 @@ def test_ivf_build_with_mesh_trains_sharded(mesh, rng):
     e_d, e_i = FlatIndex(table, Metric.L2).search(q, 10)
     assert np.allclose(np.sort(d, axis=1), np.sort(e_d, axis=1),
                        rtol=1e-3, atol=1e-3)
+
+
+def test_device_sharded_lifecycle(mesh, rng, tmp_path):
+    """Sharded insert → vacuum → checkpoint round-trip → re-query, for
+    both device-sharded AMs (the multi-chip claim covers mutations and
+    replica state transfer — test/t/001's primary/replica methodology)."""
+    from pgvector_tpu.parallel import (DeviceShardedHNSWIndex,
+                                       DeviceShardedIVFFlatIndex)
+
+    db = rng.normal(size=(1200, 12)).astype(np.float32)
+    q = db[:6] + 0.01
+    table = DenseTable(12)
+    rows0 = table.insert(db[:1000])
+    h = DeviceShardedHNSWIndex(mesh, table, Metric.L2, m=8,
+                               ef_construction=32, wave_size=256,
+                               dedup=False, seed=1)
+    iv = DeviceShardedIVFFlatIndex(mesh, table, Metric.L2, lists=8, seed=1)
+    rows1 = table.insert(db[1000:])
+    h.insert(rows1)
+    iv.insert(rows1)
+    table.delete(rows0[:50])
+    h.vacuum()
+    iv.vacuum()
+    h.save(str(tmp_path / "h"))
+    iv.save(str(tmp_path / "iv"))
+    h2 = DeviceShardedHNSWIndex.load(mesh, table, str(tmp_path / "h"))
+    iv2 = DeviceShardedIVFFlatIndex.load(mesh, table, str(tmp_path / "iv"))
+    e_d, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    for name, idx in (("h", h), ("h2", h2)):
+        _, r = idx.search(q, 10, ef_search=60)
+        hits = sum(len(set(map(int, a)) & set(map(int, e)))
+                   for a, e in zip(r, e_i))
+        assert hits / (len(q) * 10) >= 0.85, name
+        assert not np.isin(r, rows0[:50]).any(), name
+    for name, idx in (("iv", iv), ("iv2", iv2)):
+        d, r = idx.search(q, 10, probes=8)
+        assert np.allclose(np.sort(d, axis=1), np.sort(e_d, axis=1),
+                           rtol=1e-3, atol=1e-3), name
+        assert not np.isin(r, rows0[:50]).any(), name
+    # inserted rows reachable through the loaded replica
+    _, rh = h2.search(db[1000:][:4], 5, ef_search=60)
+    assert np.isin(rh, rows1).any()
