@@ -31,9 +31,17 @@ class Relation:
         self.indexes: List[object] = []
 
     # ------------------------------------------------------------------- DDL
-    def create_index(self, kind: str, metric: Metric, **opts):
-        """CREATE INDEX ... USING {hnsw | ivfflat} (opclass per metric)."""
-        if kind == "hnsw":
+    def create_index(self, kind: str, metric: Optional[Metric] = None, **opts):
+        """CREATE INDEX ... USING {hnsw | ivfflat | btree}.  The AM kinds
+        take an opclass metric; btree indexes the total value ordering
+        (sql/vector.sql:300-346) and takes none."""
+        if kind == "btree":
+            from .index.btree import OrderedIndex
+
+            idx = OrderedIndex(self.table, **opts)
+        elif metric is None:
+            raise DataException(f'access method "{kind}" requires an opclass metric')
+        elif kind == "hnsw":
             from .index.hnsw import HNSWIndex
 
             idx = HNSWIndex(self.table, metric, **opts)

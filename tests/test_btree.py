@@ -1,0 +1,133 @@
+"""Ordered-index (btree opclass) tests — the semantics of
+test/sql/btree.sql over the memcmp-style total ordering
+(sql/vector.sql:300-346, vector.c:1030-1143): equality lookups, range
+predicates, ordered scans, online maintenance; for vector, halfvec
+(shared DenseTable ordering), sparsevec, and bit."""
+
+import numpy as np
+import pytest
+
+from pgvector_tpu.errors import DataException
+from pgvector_tpu.index.btree import OrderedIndex
+from pgvector_tpu.relation import Relation
+from pgvector_tpu.store.table import BitTable, DenseTable, SparseTable
+from pgvector_tpu.types import Bit, SparseVec, Vector
+
+
+def test_dense_order_matches_value_compare():
+    rng = np.random.default_rng(5)
+    db = rng.normal(size=(200, 3)).astype(np.float32)
+    db[10] = db[20]  # duplicates
+    db[30, 0] = -0.0  # -0.0 must order as +0.0 (vector.c:1060)
+    db[31, 0] = 0.0
+    db[31, 1:] = db[30, 1:]
+    table = DenseTable(3)
+    table.insert(db)
+    idx = OrderedIndex(table)
+    scan = idx.scan()
+    vecs = [Vector(db[r]) for r in scan]
+    for a, b in zip(vecs, vecs[1:]):
+        assert a.compare(b) <= 0
+    assert len(scan) == 200
+    # descending scan is the reverse
+    assert np.array_equal(idx.scan(ascending=False), scan[::-1])
+
+
+def test_dense_eq_and_range():
+    db = np.asarray([[i / 2.0, -i] for i in range(50)], np.float32)
+    table = DenseTable(2)
+    table.insert(db)
+    idx = OrderedIndex(table)
+    # equality: exact rows, including duplicates
+    table2 = DenseTable(2)
+    table2.insert(np.vstack([db, db[7:8]]))
+    idx2 = OrderedIndex(table2)
+    assert list(idx.search_eq(db[7])) == [7]
+    assert list(idx2.search_eq(db[7])) == [7, 50]
+    assert list(idx.search_eq([99.0, 99.0])) == []
+    # ranges over the elementwise order
+    lo, hi = db[10], db[20]
+    got = idx.search_range(lo=lo, hi=hi)
+    keys = sorted(range(50), key=lambda r: tuple(db[r]))
+    want = [r for r in keys if tuple(lo) <= tuple(db[r]) <= tuple(hi)]
+    assert list(got) == want
+    # exclusive bounds drop the endpoints
+    got_ex = idx.search_range(lo=lo, hi=hi, lo_inc=False, hi_inc=False)
+    assert set(got_ex) == set(want) - {10, 20}
+    # open-ended
+    assert len(idx.search_range(lo=db[45])) == len(
+        [r for r in range(50) if tuple(db[r]) >= tuple(db[45])])
+
+
+def test_dimension_mismatch_errors():
+    table = DenseTable(3)
+    table.insert(np.zeros((2, 3), np.float32))
+    idx = OrderedIndex(table)
+    with pytest.raises(DataException):
+        idx.search_eq([1.0, 2.0])
+
+
+def test_online_maintenance():
+    rng = np.random.default_rng(6)
+    db = rng.normal(size=(100, 4)).astype(np.float32)
+    table = DenseTable(4)
+    rows = table.insert(db[:80])
+    idx = OrderedIndex(table)
+    rows2 = table.insert(db[80:])
+    idx.insert(rows2)
+    scan = idx.scan()
+    assert len(scan) == 100
+    vecs = [Vector(db[r]) for r in scan]
+    for a, b in zip(vecs, vecs[1:]):
+        assert a.compare(b) <= 0
+    table.delete(rows[:10])
+    idx.vacuum()
+    scan = idx.scan()
+    assert len(scan) == 90 and not set(scan) & set(map(int, rows[:10]))
+    # deleted rows filtered even before vacuum
+    table.delete(rows[10:20])
+    assert not set(idx.scan()) & set(map(int, rows[10:20]))
+
+
+def test_sparse_as_if_dense_order():
+    svs = [
+        SparseVec.from_dense([0, 0, 0]),
+        SparseVec.from_dense([0, 0, 1]),
+        SparseVec.from_dense([0, 1, 0]),
+        SparseVec.from_dense([-1, 0, 0]),
+        SparseVec.from_dense([1, 0, 0]),
+        SparseVec.from_dense([0, -2, 5]),
+    ]
+    table = SparseTable(3, nnz_cap=3)
+    table.insert(svs)
+    idx = OrderedIndex(table)
+    scan = idx.scan()
+    got = [svs[r] for r in scan]
+    for a, b in zip(got, got[1:]):
+        assert a.compare(b) <= 0
+    assert list(idx.search_eq(SparseVec.from_dense([0, 1, 0]))) == [2]
+    rng_rows = idx.search_range(lo=SparseVec.from_dense([0, 0, 0]))
+    assert 3 not in rng_rows and 0 in rng_rows  # [-1,0,0] below, [0,0,0] in
+
+
+def test_bit_order():
+    bits = [Bit("000"), Bit("001"), Bit("010"), Bit("110"), Bit("111")]
+    table = BitTable(3)
+    table.insert(bits)
+    idx = OrderedIndex(table)
+    assert list(idx.scan()) == [0, 1, 2, 3, 4]
+    assert list(idx.search_eq(Bit("110"))) == [3]
+    assert list(idx.search_range(lo=Bit("010"), hi=Bit("110"))) == [2, 3]
+
+
+def test_relation_btree_ddl():
+    rng = np.random.default_rng(8)
+    db = rng.normal(size=(50, 4)).astype(np.float32)
+    rel = Relation(DenseTable(4))
+    rel.insert(db)
+    idx = rel.create_index("btree")
+    assert list(idx.search_eq(db[3])) == [3]
+    rel.insert(db[:2])  # maintained through relation DML
+    assert list(idx.search_eq(db[0])) == [0, 50]
+    with pytest.raises(DataException):
+        rel.create_index("hnsw")  # AM without opclass metric
