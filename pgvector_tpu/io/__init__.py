@@ -1,6 +1,7 @@
 """Persistence — versioned checkpoints of tables and indexes (the
 WAL/metapage analogue, SURVEY.md §5)."""
 
+from .replication import ReplicationLog, apply_deltas
 from .checkpoint import (
     save_table,
     load_table,
@@ -13,6 +14,8 @@ from .checkpoint import (
 )
 
 __all__ = [
+    "ReplicationLog",
+    "apply_deltas",
     "save_table",
     "load_table",
     "save_hnsw",

@@ -139,6 +139,13 @@ def save_hnsw(idx, path: str) -> None:
     for j, v in enumerate(idx.values):
         arrays[f"values{j}"] = v[: idx.n_elems]
     _save_arrays(path, arrays)
+
+    def _plain(v):
+        if isinstance(v, dict):
+            return {k: _plain(x) for k, x in v.items()}
+        return int(v) if isinstance(v, np.integer) else v
+
+    rng_state = _plain(idx._rng.bit_generator.state)
     _write_manifest(path, {
         "object": "hnsw",
         "kind": idx.kind,
@@ -151,6 +158,16 @@ def save_hnsw(idx, path: str) -> None:
         "entry_level": idx.entry_level,
         "free_slots": idx.free_slots,
         "seed": idx.seed,
+        # level-assignment rng state: restoring it makes logical delta
+        # replay deterministic (replica inserts draw the same levels the
+        # primary drew — the WAL-replay-equality analogue, test/t/001)
+        "rng_state": rng_state,
+        # build knobs shape future insert waves — a replica replaying the
+        # primary's inserts must partition them identically
+        "wave_size": idx.wave_size,
+        "beam_expand": idx.beam_expand,
+        "backlink_mode": idx.backlink_mode,
+        "dedup": idx.dedup,
     })
 
 
@@ -162,7 +179,11 @@ def load_hnsw(table, path: str):
         raise DataException(f'expected an hnsw checkpoint, found "{m["object"]}"')
     idx = HNSWIndex(table, Metric[m["metric"]], m=m["m"],
                     ef_construction=m["ef_construction"], seed=m["seed"],
-                    build=False)
+                    build=False,
+                    wave_size=m.get("wave_size", 1024),
+                    beam_expand=m.get("beam_expand", 1),
+                    backlink_mode=m.get("backlink_mode", "wholesale"),
+                    dedup=m.get("dedup", True))
     n, nu = m["n_elems"], m["n_upper"]
     while idx.cap_e < max(n, 1):
         idx._grow()
@@ -176,6 +197,8 @@ def load_hnsw(table, path: str):
     idx.n_elems, idx.n_upper = n, nu
     idx.entry, idx.entry_level = m["entry"], m["entry_level"]
     idx.free_slots = list(m["free_slots"])
+    if "rng_state" in m:
+        idx._rng.bit_generator.state = m["rng_state"]
     if n:
         idx.nbr0 = idx.nbr0.at[:n].set(jnp.asarray(_load(path, "nbr0")))
         try:  # kept flags added in round 2; older checkpoints lack them

@@ -1,0 +1,142 @@
+"""Incremental replication — delta shipping between a primary and replicas.
+
+The reference keeps replicas current by streaming Generic WAL records for
+every page mutation (tested by running the same KNN query on primary and
+replica after each insert/delete/vacuum cycle, test/t/001_wal.pl:16-44).
+The array-native analogue is a LOGICAL delta log: the primary appends one
+record per mutation batch (op + row ids + the row values for inserts); a
+replica that starts from the same base checkpoint replays the log and
+reaches an IDENTICAL index state, because
+
+- every device kernel here is deterministic given identical inputs, and
+- the only randomness — HNSW level assignment — replays identically since
+  checkpoints capture the level rng state (io/checkpoint.py).
+
+So "same query → same result" holds exactly, not just statistically: the
+replica's graph arrays are bit-equal to the primary's after replay.
+
+Usage::
+
+    log = ReplicationLog(dir)                      # primary side
+    rel = Relation(table); rel.replication_log = log  # or call log_* manually
+    log.log_insert(table, rows); log.log_delete(rows); log.log_vacuum()
+
+    applied = apply_deltas(table2, [idx2], dir, start_seq=0)   # replica
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Sequence
+
+import numpy as np
+
+from ..errors import DataException
+from ..store.table import BitTable, DenseTable, SparseTable
+
+_MAGIC = "pgvector-tpu-delta"
+_VERSION = 1
+
+
+class ReplicationLog:
+    """Append-only logical delta log (one subdirectory per record)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self.seq = len(self._entries())
+
+    def _entries(self) -> List[str]:
+        return sorted(d for d in os.listdir(self.path)
+                      if d.startswith("delta_"))
+
+    def _record(self, payload: dict, arrays: dict) -> None:
+        d = os.path.join(self.path, f"delta_{self.seq:08d}")
+        os.makedirs(d, exist_ok=True)
+        for name, arr in arrays.items():
+            np.save(os.path.join(d, name + ".npy"), np.asarray(arr))
+        payload.update({"magic": _MAGIC, "version": _VERSION, "seq": self.seq})
+        with open(os.path.join(d, "record.json"), "w") as f:
+            json.dump(payload, f)
+        self.seq += 1
+
+    # ------------------------------------------------------------- producers
+    def log_insert(self, table, rows: Sequence[int]) -> None:
+        """Record an insert batch: row ids + their stored values (the
+        replica re-inserts the same values and must land on the same ids)."""
+        rows = np.atleast_1d(np.asarray(rows, np.int64))
+        if isinstance(table, BitTable):
+            words = np.asarray(table.data[rows])  # (R, W) packed MSB-first
+            shifts = np.arange(31, -1, -1, dtype=np.uint32)
+            bits = ((words[:, :, None] >> shifts) & 1).reshape(len(rows), -1)
+            arrays = {"rows": rows,
+                      "data": bits[:, : table.dim].astype(bool)}
+            kind = "bit"
+        elif isinstance(table, DenseTable):
+            arrays = {"rows": rows, "data": np.asarray(table.data[rows])}
+            kind = "dense"
+        elif isinstance(table, SparseTable):
+            arrays = {"rows": rows, "idx": np.asarray(table.idx[rows]),
+                      "val": np.asarray(table.val[rows])}
+            kind = "sparse"
+        else:
+            raise DataException(f"cannot replicate {type(table).__name__}")
+        self._record({"op": "insert", "kind": kind}, arrays)
+
+    def log_delete(self, rows: Sequence[int]) -> None:
+        self._record({"op": "delete"},
+                     {"rows": np.atleast_1d(np.asarray(rows, np.int64))})
+
+    def log_vacuum(self) -> None:
+        self._record({"op": "vacuum"}, {})
+
+
+def apply_deltas(table, indexes, path: str, start_seq: int = 0) -> int:
+    """Replay deltas ``start_seq..`` onto a replica's table + indexes.
+
+    Returns the next sequence number (pass it back as ``start_seq`` on the
+    next catch-up — replicas stay current incrementally instead of
+    re-copying full snapshots).  The replica must have started from the
+    same base state the log's records assume; a row-id mismatch on replay
+    means it did not and raises."""
+    entries = sorted(d for d in os.listdir(path) if d.startswith("delta_"))
+    seq = start_seq
+    for name in entries:
+        rec_seq = int(name.split("_")[1])
+        if rec_seq < start_seq:
+            continue
+        d = os.path.join(path, name)
+        with open(os.path.join(d, "record.json")) as f:
+            rec = json.load(f)
+        if rec.get("magic") != _MAGIC:
+            raise DataException("invalid delta record: bad magic")
+        if rec["op"] == "insert":
+            rows = np.load(os.path.join(d, "rows.npy"))
+            if rec["kind"] == "sparse":
+                from ..types import SparseVec
+
+                idx_a = np.load(os.path.join(d, "idx.npy"))
+                val_a = np.load(os.path.join(d, "val.npy"))
+                pad = table.pad_index
+                vals = [SparseVec(table.dim, r_i[r_i != pad],
+                                  r_v[r_i != pad], _checked=True)
+                        for r_i, r_v in zip(idx_a, val_a)]
+                got = table.insert(vals)
+            else:  # dense and bit both re-insert raw value blocks
+                got = table.insert(np.load(os.path.join(d, "data.npy")))
+            if not np.array_equal(np.asarray(got, np.int64), rows):
+                raise DataException(
+                    "delta replay diverged: replica row ids differ from the "
+                    "primary's (replica did not start from the log's base)")
+            for ix in indexes:
+                ix.insert(got)
+        elif rec["op"] == "delete":
+            table.delete(np.load(os.path.join(d, "rows.npy")))
+        elif rec["op"] == "vacuum":
+            for ix in indexes:
+                ix.vacuum()
+        else:
+            raise DataException(f"unknown delta op {rec['op']!r}")
+        seq = rec_seq + 1
+    return seq
