@@ -1,0 +1,115 @@
+"""Incremental replication tests — the test/t/001_wal.pl methodology:
+after every insert/delete/vacuum cycle shipped as DELTAS (not full
+snapshots), the same KNN query must return the same result on primary and
+replica.  Here the guarantee is stronger than the reference's: replay is
+bit-deterministic (checkpoints carry the level-rng state), so the graphs
+are identical, not merely equivalent."""
+
+import numpy as np
+import pytest
+
+from pgvector_tpu.index.flat import FlatIndex
+from pgvector_tpu.index.hnsw import HNSWIndex
+from pgvector_tpu.index.ivfflat import IVFFlatIndex
+from pgvector_tpu.io import (ReplicationLog, apply_deltas, load_hnsw,
+                             load_ivfflat, load_table, save_hnsw,
+                             save_ivfflat, save_table)
+from pgvector_tpu.ops.metric import Metric
+from pgvector_tpu.store.table import DenseTable
+
+
+@pytest.fixture()
+def primary():
+    rng = np.random.default_rng(31)
+    db = rng.normal(size=(1500, 10)).astype(np.float32)
+    table = DenseTable(10)
+    table.insert(db[:800])
+    idx = HNSWIndex(table, Metric.L2, m=8, ef_construction=32,
+                    wave_size=128, beam_expand=4, seed=5)
+    return db, table, idx
+
+
+def test_delta_replication_hnsw(primary, tmp_path):
+    db, table, idx = primary
+    q = db[:10] + 0.01
+    # base checkpoint = the replica bootstrap (cold state transfer)
+    save_table(table, str(tmp_path / "base_table"))
+    save_hnsw(idx, str(tmp_path / "base_idx"))
+    r_table = load_table(str(tmp_path / "base_table"))
+    r_idx = load_hnsw(r_table, str(tmp_path / "base_idx"))
+
+    log = ReplicationLog(str(tmp_path / "log"))
+    applied = 0
+    for lo, hi, dele in ((800, 1100, (0, 100)), (1100, 1500, (100, 180))):
+        # primary: insert → delete → vacuum, logging each op
+        rows = table.insert(db[lo:hi])
+        idx.insert(rows)
+        log.log_insert(table, rows)
+        dead = np.arange(*dele)
+        table.delete(dead)
+        log.log_delete(dead)
+        idx.vacuum()
+        log.log_vacuum()
+        # replica: catch up incrementally from the last applied seq
+        applied = apply_deltas(r_table, [r_idx], str(tmp_path / "log"),
+                               start_seq=applied)
+        # same query, same result — on both nodes (test/t/001:16-44)
+        d_p, r_p = idx.search(q, 10, ef_search=60)
+        d_r, r_r = r_idx.search(q, 10, ef_search=60)
+        assert np.array_equal(r_p, r_r)
+        assert np.allclose(d_p, d_r, equal_nan=True)
+    # replay determinism is exact: graph arrays are bit-identical
+    assert np.array_equal(np.asarray(idx.nbr0), np.asarray(r_idx.nbr0))
+    assert np.array_equal(idx.levels, r_idx.levels)
+    assert idx.entry == r_idx.entry
+    # and the replica agrees with exact search like the primary does
+    _, e_i = FlatIndex(r_table, Metric.L2).search(q, 10)
+    hits = sum(len(set(map(int, a)) & set(map(int, e)))
+               for a, e in zip(r_r, e_i))
+    assert hits / (10 * len(q)) >= 0.9
+
+
+def test_delta_replication_ivf(tmp_path):
+    rng = np.random.default_rng(32)
+    db = rng.normal(size=(1200, 8)).astype(np.float32)
+    table = DenseTable(8)
+    table.insert(db[:900])
+    idx = IVFFlatIndex(table, Metric.L2, lists=12, seed=3)
+    save_table(table, str(tmp_path / "bt"))
+    save_ivfflat(idx, str(tmp_path / "bi"))
+    r_table = load_table(str(tmp_path / "bt"))
+    r_idx = load_ivfflat(r_table, str(tmp_path / "bi"))
+    log = ReplicationLog(str(tmp_path / "log"))
+    rows = table.insert(db[900:])
+    idx.insert(rows)
+    log.log_insert(table, rows)
+    table.delete(np.arange(50))
+    log.log_delete(np.arange(50))
+    idx.vacuum()
+    log.log_vacuum()
+    applied = apply_deltas(r_table, [r_idx], str(tmp_path / "log"))
+    q = db[:8] + 0.01
+    d_p, r_p = idx.search(q, 10, probes=12)
+    d_r, r_r = r_idx.search(q, 10, probes=12)
+    assert np.array_equal(r_p, r_r)
+    assert np.allclose(d_p, d_r, equal_nan=True)
+    # incremental catch-up: nothing new → no-op, same seq
+    assert apply_deltas(r_table, [r_idx], str(tmp_path / "log"),
+                        start_seq=applied) == applied
+
+
+def test_divergent_replica_rejected(tmp_path):
+    rng = np.random.default_rng(33)
+    db = rng.normal(size=(100, 4)).astype(np.float32)
+    table = DenseTable(4)
+    table.insert(db[:50])
+    log = ReplicationLog(str(tmp_path / "log"))
+    rows = table.insert(db[50:])
+    log.log_insert(table, rows)
+    # replica that did NOT start from the base: extra row shifts ids
+    bad = DenseTable(4)
+    bad.insert(db[:51])
+    from pgvector_tpu.errors import DataException
+
+    with pytest.raises(DataException):
+        apply_deltas(bad, [], str(tmp_path / "log"))
