@@ -41,6 +41,86 @@ def merge_topk(
     return topk_smallest(d, k, ids=i)
 
 
+def grouped_exact_topk(
+    score_tile: Callable[..., jnp.ndarray],
+    score_rows: Callable[..., jnp.ndarray],
+    db_cols: Tuple[jnp.ndarray, ...],
+    n: int,
+    k: int,
+    group: int = 16,
+    tile: int = 65536,
+    valid: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k via group-min filtering — the TPU-shaped replacement for
+    per-element top-k merges.
+
+    Per-element selection work is what made exact scans ~1000× slower than
+    their matmuls (each element pays O(k) merge ops; the matmul pays O(D)
+    MXU flops that run 2 orders of magnitude faster per op).  This version
+    pays O(1) per element:
+
+    1. **filter** — stream DB tiles; each (Q, T) score block reduces to
+       per-``group`` minima (a cheap reshape-min XLA fuses into the matmul
+       consumer, so full score blocks never round-trip through HBM),
+       giving ``gmins (Q, N/group)``.
+    2. **select** — ``lax.top_k`` picks the k smallest-min groups per
+       query.  This is EXACT: the k nearest elements have distance ≤ d_k,
+       so every group containing one has min ≤ d_k, and at most k groups
+       can have min ≤ d_k (each such group contributes ≥1 element ≤ d_k).
+       Ties at d_k may swap tied elements — a valid top-k set either way.
+    3. **refine** — gather the k·group candidate rows (Q·k·group total, a
+       ~10⁻³ fraction of N) and re-score them exactly; final top-k.
+
+    ``score_tile`` maps db-col tiles → (Q, T) scores; ``score_rows`` maps
+    (Q, C) row ids → (Q, C) scores (exact, gathering from the full cols).
+    Returns (dists, ids) like tiled_topk.
+    """
+    tile = min(tile, max(n, group))
+    tile = max(group, tile - tile % group)
+    n_tiles = -(-n // tile)
+    n_pad = n_tiles * tile
+
+    def pad(col: jnp.ndarray) -> jnp.ndarray:
+        col = col[:n]
+        if n_pad == col.shape[0]:
+            return col
+        pw = [(0, n_pad - col.shape[0])] + [(0, 0)] * (col.ndim - 1)
+        return jnp.pad(col, pw)
+
+    cols = tuple(pad(c).reshape((n_tiles, tile) + c.shape[1:]) for c in db_cols)
+    row_valid = jnp.arange(n_pad, dtype=jnp.int32) < n
+    if valid is not None:
+        row_valid = row_valid & pad(valid)
+    rv_tiles = row_valid.reshape(n_tiles, tile)
+    q_count = jax.eval_shape(score_tile, *(c[0] for c in cols)).shape[0]
+
+    def body(_, inp):
+        tile_cols, tile_valid = inp
+        s = score_tile(*tile_cols).astype(jnp.float32)
+        s = jnp.where(tile_valid[None, :], s, jnp.inf)
+        gm = jnp.min(s.reshape(q_count, tile // group, group), axis=-1)
+        return None, gm
+
+    _, gms = jax.lax.scan(body, None, (cols, rv_tiles))
+    # (n_tiles, Q, tile/group) → (Q, N/group)
+    gms = jnp.moveaxis(gms, 1, 0).reshape(q_count, -1)
+    kk = min(k, gms.shape[1])
+    _, gsel = jax.lax.top_k(-gms, kk)  # (Q, kk) group ids
+    cand = (gsel[:, :, None] * group
+            + jnp.arange(group, dtype=gsel.dtype)).reshape(q_count, kk * group)
+    ok = row_valid[jnp.minimum(cand, n_pad - 1)] & (cand < n)
+    s = score_rows(jnp.where(ok, cand, 0)).astype(jnp.float32)
+    s = jnp.where(ok, s, jnp.inf)
+    d, i = topk_smallest(s, min(k, s.shape[1]), ids=cand)
+    if d.shape[1] < k:
+        q = d.shape[0]
+        d = jnp.concatenate(
+            [d, jnp.full((q, k - d.shape[1]), jnp.inf, d.dtype)], axis=1)
+        i = jnp.concatenate(
+            [i, jnp.full((q, k - i.shape[1]), -1, i.dtype)], axis=1)
+    return d, jnp.where(jnp.isinf(d), -1, i)
+
+
 def tiled_topk(
     score_tile: Callable[..., jnp.ndarray],
     db_cols: Tuple[jnp.ndarray, ...],
