@@ -68,85 +68,136 @@ def exact_rerank(
     return np.asarray(d), np.asarray(i)
 
 
-class BinaryQuantizedIndex:
-    """Hamming HNSW over ``binary_quantize(embedding)`` with exact
-    re-ranking — the pipeline of README.md:589-609.
+class ExpressionIndex:
+    """General expression index — ``CREATE INDEX ON t ((expr(v)))``
+    (README.md:558-569 uses it for halfvec casts; any row-wise derivation
+    qualifies).  Maintains a shadow table of ``expr(value)`` plus an
+    explicit shadow-row ↔ source-row mapping, so inserts arriving in any
+    order — including after deletes and slot reuse on the source — stay
+    consistent (the earlier pipelines *asserted* id equality and crashed
+    on out-of-order inserts).
 
-    Build: pack sign bits of the dense table into a BitTable, index it with
-    HNSW ``bit_hamming_ops``; query: quantize the query, over-fetch
-    ``rerank_factor · k`` by Hamming, then re-rank with the true metric.
-    """
+    ``expr`` maps an (R, dim) f32 block of source rows to shadow values
+    (float array → DenseTable shadow; bool array → BitTable shadow);
+    ``qexpr`` (default: ``expr``) maps coerced queries the same way.
+    ``search`` runs the shadow index, maps ids back to source rows, and —
+    when ``rerank`` — re-scores with the exact source-metric distance
+    (the outer ORDER BY of the re-rank CTE, README.md:600-607)."""
+
+    def __init__(self, table: DenseTable, expr, metric: Metric = Metric.L2,
+                 shadow_metric: Optional[Metric] = None, qexpr=None,
+                 rerank: bool = True, rerank_factor: int = 4,
+                 m: int = 16, ef_construction: int = 64, seed: int = 0,
+                 **kw):
+        from .index.hnsw import HNSWIndex
+
+        self.table = table
+        self.expr = expr
+        self.qexpr = qexpr or expr
+        self.metric = metric
+        self.rerank = rerank
+        self.rerank_factor = rerank_factor
+        self._src_of_shadow = np.zeros(0, np.int64)
+        live = np.flatnonzero(np.asarray(table.valid[: table.count]))
+        sample = self.expr(np.zeros((1, table.dim), np.float32))
+        sample = np.asarray(sample)
+        if sample.dtype == bool:
+            self.shadow = BitTable(sample.shape[1],
+                                   capacity=max(table.count, 8))
+            shadow_metric = shadow_metric or Metric.HAMMING
+            kw.setdefault("dedup", False)
+        else:
+            self.shadow = DenseTable(sample.shape[1],
+                                     capacity=max(table.count, 8))
+            shadow_metric = shadow_metric or metric
+        if len(live):
+            vals = np.asarray(self.expr(
+                np.asarray(table.data[jnp.asarray(live)], np.float32)))
+            srows = self.shadow.insert(vals)
+            self._map_rows(srows, live)
+        self.index = HNSWIndex(self.shadow, shadow_metric, m=m,
+                               ef_construction=ef_construction, seed=seed,
+                               **kw)
+
+    def _map_rows(self, shadow_rows: np.ndarray, src_rows: np.ndarray) -> None:
+        hi = int(shadow_rows.max(initial=-1)) + 1
+        if hi > len(self._src_of_shadow):
+            grown = np.full(max(hi, 2 * len(self._src_of_shadow), 8), -1,
+                            np.int64)
+            grown[: len(self._src_of_shadow)] = self._src_of_shadow
+            self._src_of_shadow = grown
+        self._src_of_shadow[shadow_rows] = src_rows
+
+    def insert(self, rows) -> None:
+        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        vals = np.asarray(self.expr(
+            np.asarray(self.table.data[jnp.asarray(rows)], np.float32)))
+        srows = self.shadow.insert(vals)
+        self._map_rows(np.asarray(srows, np.int64), rows)
+        self.index.insert(srows)
+
+    def vacuum(self) -> None:
+        """Propagate source deletes to the shadow, then repair the shadow
+        index — no id-alignment assumption."""
+        src_valid = np.asarray(self.table.valid)
+        n_sh = self.shadow.count
+        srcs = self._src_of_shadow[:n_sh]
+        sh_valid = np.asarray(self.shadow.valid[:n_sh])
+        dead_sh = np.flatnonzero(
+            sh_valid & ((srcs < 0) | ~src_valid[np.maximum(srcs, 0)]))
+        if len(dead_sh):
+            self.shadow.delete(dead_sh)
+        self.index.vacuum()
+
+    def search(self, q, k: int, ef_search: Optional[int] = None):
+        qs = np.asarray(_coerce_dense_queries(q, self.table.dim))
+        qv = np.asarray(self.qexpr(qs))
+        fetch = max(k * self.rerank_factor, k) if self.rerank else k
+        _, cand = self.index.search(qv, fetch,
+                                    ef_search=ef_search or max(fetch, 40))
+        # shadow rows → source rows (also drops shadows of deleted sources)
+        safe = np.maximum(cand, 0)
+        src = np.where(cand >= 0, self._src_of_shadow[safe], -1)
+        src_valid = np.asarray(self.table.valid)
+        src = np.where((src >= 0) & src_valid[np.maximum(src, 0)], src, -1)
+        if not self.rerank:
+            d, _ = self.index.search(qv, k, ef_search=ef_search or max(k, 40))
+            return d, src[:, :k]
+        return exact_rerank(self.table, self.metric, qs, src, k)
+
+
+class BinaryQuantizedIndex(ExpressionIndex):
+    """Hamming HNSW over ``binary_quantize(embedding)`` with exact
+    re-ranking — the pipeline of README.md:589-609, as an ExpressionIndex
+    with ``expr = binary_quantize`` (sign bits → BitTable shadow)."""
 
     def __init__(self, table: DenseTable, metric: Metric = Metric.L2,
                  m: int = 16, ef_construction: int = 64,
                  rerank_factor: int = 4, seed: int = 0, **kw):
-        from .index.hnsw import HNSWIndex
+        super().__init__(table, expr=lambda v: v > 0, metric=metric,
+                         shadow_metric=Metric.HAMMING, m=m,
+                         ef_construction=ef_construction,
+                         rerank_factor=rerank_factor, seed=seed, **kw)
 
-        self.table = table
-        self.metric = metric
-        self.rerank_factor = rerank_factor
-        bits = np.asarray(table.data[: table.count]) > 0
-        self.bit_table = BitTable(table.dim, capacity=max(table.count, 8))
-        if table.count:
-            rows = self.bit_table.insert(bits)
-            dead = np.flatnonzero(~np.asarray(table.valid[: table.count]))
-            if len(dead):
-                self.bit_table.delete(dead)
-        self.index = HNSWIndex(self.bit_table, Metric.HAMMING, m=m,
-                               ef_construction=ef_construction, seed=seed,
-                               dedup=False, **kw)
-
-    def insert(self, rows) -> None:
-        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
-        bits = np.asarray(self.table.data[jnp.asarray(rows)]) > 0
-        new_rows = self.bit_table.insert(bits)
-        assert (new_rows == rows).all(), "bit shadow table out of sync"
-        self.index.insert(new_rows)
-
-    def search(self, q, k: int, ef_search: Optional[int] = None):
-        qs = _coerce_dense_queries(q, self.table.dim)
-        qbits = np.asarray(qs) > 0
-        fetch = max(k * self.rerank_factor, k)
-        _, cand = self.index.search(qbits, fetch,
-                                    ef_search=ef_search or max(fetch, 40))
-        return exact_rerank(self.table, self.metric, qs, cand, k)
+    @property
+    def bit_table(self) -> BitTable:  # backward-compat alias
+        return self.shadow
 
 
-class SubvectorIndex:
+class SubvectorIndex(ExpressionIndex):
     """HNSW over ``subvector(v, 1, d')`` with full-width re-ranking —
-    README.md:644-663.  Halves (or any prefix of) the indexed dimensions;
-    recall recovered by over-fetching and exact re-scoring."""
+    README.md:644-663, as an ExpressionIndex with a prefix-slice expr."""
 
     def __init__(self, table: DenseTable, metric: Metric = Metric.L2,
                  sub_dim: Optional[int] = None, m: int = 16,
                  ef_construction: int = 64, rerank_factor: int = 4,
                  seed: int = 0, **kw):
-        from .index.hnsw import HNSWIndex
+        sd = sub_dim or max(table.dim // 2, 1)
+        super().__init__(table, expr=lambda v: v[:, :sd], metric=metric,
+                         m=m, ef_construction=ef_construction,
+                         rerank_factor=rerank_factor, seed=seed, **kw)
+        self.sub_dim = sd
 
-        self.table = table
-        self.metric = metric
-        self.sub_dim = sub_dim or max(table.dim // 2, 1)
-        self.rerank_factor = rerank_factor
-        sub = np.asarray(table.data[: table.count]).astype(np.float32)[:, : self.sub_dim]
-        self.sub_table = DenseTable(self.sub_dim, capacity=max(table.count, 8))
-        if table.count:
-            self.sub_table.insert(sub)
-            dead = np.flatnonzero(~np.asarray(table.valid[: table.count]))
-            if len(dead):
-                self.sub_table.delete(dead)
-        self.index = HNSWIndex(self.sub_table, metric, m=m,
-                               ef_construction=ef_construction, seed=seed, **kw)
-
-    def insert(self, rows) -> None:
-        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
-        sub = np.asarray(self.table.data[jnp.asarray(rows)]).astype(np.float32)[:, : self.sub_dim]
-        new_rows = self.sub_table.insert(sub)
-        assert (new_rows == rows).all(), "subvector shadow table out of sync"
-        self.index.insert(new_rows)
-
-    def search(self, q, k: int, ef_search: Optional[int] = None):
-        qs = np.asarray(_coerce_dense_queries(q, self.table.dim))
-        fetch = max(k * self.rerank_factor, k)
-        _, cand = self.index.search(qs[:, : self.sub_dim], fetch,
-                                    ef_search=ef_search or max(fetch, 40))
-        return exact_rerank(self.table, self.metric, qs, cand, k)
+    @property
+    def sub_table(self) -> DenseTable:  # backward-compat alias
+        return self.shadow

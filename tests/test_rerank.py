@@ -79,3 +79,42 @@ def test_halfvec_bf16_indexes(data):
     ivf = IVFFlatIndex(table, Metric.L2, lists=8, seed=1)
     _, r = ivf.search(q, 10, probes=8)
     assert recall(r, e_i) >= 0.95
+
+
+def test_expression_index_out_of_order_inserts():
+    """README.md:558-569 expression-index ergonomics: shadow tables are
+    maintained through an explicit row map, so inserts after deletes (when
+    source row ids are reused or arrive out of order) work — the earlier
+    assert-based sync would crash here."""
+    import numpy as np
+
+    from pgvector_tpu.index.flat import FlatIndex
+    from pgvector_tpu.rerank import ExpressionIndex
+    from pgvector_tpu.store.table import DenseTable
+
+    rng = np.random.default_rng(21)
+    db = rng.normal(size=(900, 16)).astype(np.float32)
+    table = DenseTable(16)
+    rows0 = table.insert(db[:600])
+    idx = ExpressionIndex(table, expr=lambda v: v[:, :8], metric=Metric.L2,
+                          m=8, ef_construction=32, wave_size=128,
+                          beam_expand=4, rerank_factor=10)
+    # delete some source rows, vacuum the shadow, then insert more —
+    # source may reuse slots; shadow ids diverge from source ids
+    table.delete(rows0[:100])
+    idx.vacuum()
+    rows1 = table.insert(db[600:])
+    idx.insert(rows1)  # must not crash, must stay consistent
+    q = db[:6] + 0.01
+    _, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    d, r = idx.search(q, 10, ef_search=80)
+    hits = sum(len(set(map(int, a)) & set(map(int, e)))
+               for a, e in zip(r, e_i))
+    assert hits / 60 >= 0.7  # half the dims on isotropic data
+    assert not np.isin(r, rows0[:100]).any()
+    # derived bit expression too (sign quantization)
+    idx2 = ExpressionIndex(table, expr=lambda v: v > 0, metric=Metric.L2,
+                           m=8, ef_construction=32, wave_size=128,
+                           beam_expand=4)
+    d2, r2 = idx2.search(q, 10, ef_search=80)
+    assert (r2 >= 0).any() and not np.isin(r2, rows0[:100]).any()
