@@ -224,6 +224,79 @@ def main():
                                   "qps": round(nq / dt, 1)})
         log(f"bench: gist {gist}")
 
+    # optional bit/Hamming + binary-quantization re-rank lane at scale —
+    # BASELINE.md's "bit/binary-quantized Hamming + re-rank pipeline"
+    # (README.md:589-609).  Opt-in: BENCH_BIT=1.
+    bit_lane = None
+    if os.environ.get("BENCH_BIT", "0") == "1":
+        from pgvector_tpu.rerank import BinaryQuantizedIndex
+        from pgvector_tpu.store.table import BitTable
+
+        t0 = time.time()
+        bq = BinaryQuantizedIndex(table, Metric.L2, m=m,
+                                  ef_construction=64, rerank_factor=4,
+                                  wave_size=1024, beam_expand=expand)
+        bq_build = time.time() - t0
+        bq.index.beam_expand = qexpand
+        bq.search(qs[:batch], k, ef_search=40)  # compile
+        t0 = time.time()
+        got = [bq.search(qs[s: s + batch], k, ef_search=40)[1]
+               for s in range(0, nq, batch)]
+        dt = time.time() - t0
+        r = np.concatenate(got)[:nq]
+        hits = sum(len(set(map(int, a)) & set(map(int, e)))
+                   for a, e in zip(r, gt))
+        # raw Hamming HNSW (no re-rank) for the pure-bit number
+        braw = bq.index
+        qbits = np.asarray(qs) > 0
+        t0 = time.time()
+        got = [braw.search(qbits[s: s + batch], k, ef_search=40)[1]
+               for s in range(0, nq, batch)]
+        dt_raw = time.time() - t0
+        bit_lane = {
+            "n": n, "build_s": round(bq_build, 1),
+            "bq_rerank": {"recall_at_10_vs_float_gt": round(hits / (nq * k), 4),
+                          "qps": round(nq / dt, 1), "ef": 40,
+                          "rerank_factor": 4},
+            "hamming_raw_qps": round(nq / dt_raw, 1),
+        }
+        log(f"bench: bit {bit_lane}")
+
+    # optional IP / cosine opclass sweeps at n (BENCH_METRICS=ip,cosine) —
+    # each builds its own graph + ground truth
+    metric_lanes = None
+    mlist = [x for x in os.environ.get("BENCH_METRICS", "").split(",") if x]
+    if mlist:
+        metric_lanes = {}
+        for mname in mlist:
+            met = {"ip": Metric.IP, "cosine": Metric.COSINE}[mname]
+            fl = FlatIndex(table, met)
+            t0 = time.time()
+            _, mgt = fl.search(qs, k)
+            mgt_s = time.time() - t0
+            t0 = time.time()
+            midx = HNSWIndex(table, met, m=m, ef_construction=64,
+                             wave_size=1024, dedup=False,
+                             beam_expand=expand, capacity=cap)
+            mbuild = time.time() - t0
+            midx.beam_expand = qexpand
+            lane = {"build_s": round(mbuild, 1), "gt_s": round(mgt_s, 1),
+                    "sweep": []}
+            for ef in (40, 100):
+                midx.search(qs[:batch], k, ef_search=ef)
+                t0 = time.time()
+                got = [midx.search(qs[s: s + batch], k, ef_search=ef)[1]
+                       for s in range(0, nq, batch)]
+                dt = time.time() - t0
+                r = np.concatenate(got)[:nq]
+                hits = sum(len(set(map(int, a)) & set(map(int, e)))
+                           for a, e in zip(r, mgt))
+                lane["sweep"].append(
+                    {"ef": ef, "recall_at_10": round(hits / (nq * k), 4),
+                     "qps": round(nq / dt, 1)})
+            metric_lanes[mname] = lane
+            log(f"bench: {mname} {lane}")
+
     out = {
         "metric": "hnsw_qps_at_recall095_sift1m_surrogate",
         "value": head["qps"],
@@ -242,6 +315,9 @@ def main():
         "sweep": results,
         "ivf": ivf,
         "gist_halfvec": gist,
+        "bit_bq": bit_lane,
+        "metric_lanes": metric_lanes,
+        "exact_path": flat.last_path,
         "backend": jax.default_backend(),
     }
     print(json.dumps(out))

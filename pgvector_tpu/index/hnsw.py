@@ -40,6 +40,7 @@ repaired", hnswvacuum.c:578) → free slots.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, List, Optional, Tuple
 
@@ -884,13 +885,16 @@ class HNSWIndex:
         if self._nbr_vals is not None and self._nbr_vals.dtype == dtype:
             return self._nbr_vals
         vecs = self.values[0]
-        chunk = 1 << 17
-        parts = []
+        chunk = min(1 << 16, self.cap_e)
+        # fill a donated buffer chunk-by-chunk: the packed copy is up to
+        # ~8 GB at 1M×128-d — concatenation would transiently double it
+        out = jnp.zeros((self.cap_e, 2 * self.m, self.table.dim), dtype)
         for s in range(0, self.cap_e, chunk):
-            nb = self.nbr0[s: s + chunk]
-            parts.append(vecs[jnp.maximum(nb, 0)].astype(dtype))
-        self._nbr_vals = jnp.concatenate(parts, axis=0) if len(parts) > 1 \
-            else parts[0]
+            nb = jax.lax.dynamic_slice(
+                self.nbr0, (s, 0), (min(chunk, self.cap_e - s),
+                                    self.nbr0.shape[1]))
+            out = _fill_nbr_vals(out, vecs, nb, s)
+        self._nbr_vals = out
         return self._nbr_vals
 
     def _search_once(self, qs, nq: int, k: int, ef: int, fmask):
@@ -1170,6 +1174,12 @@ def _dup_keys(host_vals: List[np.ndarray]) -> List[bytes]:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, donate_argnames=("out",))
+def _fill_nbr_vals(out, vecs, nb, s):
+    pv = vecs[jnp.maximum(nb, 0)].astype(out.dtype)
+    return jax.lax.dynamic_update_slice(out, pv, (s, 0, 0))
 
 
 def _round_pow2(n: int) -> int:

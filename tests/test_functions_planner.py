@@ -108,3 +108,90 @@ def test_timers_and_memory(rng):
     p.set_phase("loading tuples", 10)
     p.advance(5)
     assert events == [("loading tuples", 0, 10), ("loading tuples", 5, 10)]
+
+
+def test_planner_crossover_tracks_scale():
+    """hnsw.c:134-233 / ivfflat.c:85-151 behavior: at tiny N the exact
+    scan is cheapest; at scale the index paths win; without ORDER BY the
+    AM paths are never offered (infinite cost, hnsw.c:147-160)."""
+    from pgvector_tpu.index.hnsw import HNSWIndex
+    from pgvector_tpu.index.ivfflat import IVFFlatIndex
+    from pgvector_tpu.planner import choose_path, estimate_cost
+    from pgvector_tpu.store.table import DenseTable
+
+    rng = np.random.default_rng(17)
+
+    def setup(n):
+        db = rng.normal(size=(n, 16)).astype(np.float32)
+        t = DenseTable(16)
+        t.insert(db)
+        h = HNSWIndex(t, Metric.L2, m=8, ef_construction=32,
+                      wave_size=256, beam_expand=4)
+        iv = IVFFlatIndex(t, Metric.L2, lists=max(4, n // 500))
+        return t, [h, iv]
+
+    # at tiny N the exact scan beats HNSW (entry descent + layer-0 term
+    # already exceed N tuples); IVFFlat at probes=1 is excluded here — it
+    # scans ~N/lists tuples and legitimately wins at any size, exactly as
+    # the reference's ivfflatcostestimate does (ivfflat.c:85-151)
+    t_small, idx_small = setup(60)
+    assert choose_path(t_small, idx_small[:1], Metric.L2).kind == "exact"
+    t_big, idx_big = setup(8000)
+    pick = choose_path(t_big, idx_big, Metric.L2, ef_search=40, probes=1)
+    assert pick.kind in ("hnsw", "ivfflat")
+    # no ORDER BY → AM paths unusable
+    assert choose_path(t_big, idx_big, Metric.L2, order_by=False).kind == "exact"
+    # metric mismatch → path not offered
+    assert choose_path(t_big, idx_big, Metric.L1).kind == "exact"
+    # cost monotonicity: exact grows linearly, hnsw ~log — the crossover
+    # exists and is one-directional
+    h = idx_big[0]
+    costs = [(n, estimate_cost(None, _FakeTable(n), Metric.L2),
+              estimate_cost(h, _FakeTable(n), Metric.L2, ef_search=40))
+             for n in (100, 1000, 100_000, 10_000_000)]
+    flips = [e > x for _, e, x in costs]
+    assert flips == sorted(flips)  # once the index wins it keeps winning
+    assert not flips[0] and flips[-1]
+
+
+class _FakeTable:
+    def __init__(self, n):
+        self.live_count = n
+
+
+def test_planner_pick_is_fastest_on_device():
+    """The mid-size pick must track measured reality: time the chosen path
+    against the alternative on this backend and assert the planner did not
+    pick a path that is actually slower (generous 1.3× slack for timer
+    noise on the CPU mesh)."""
+    import time
+
+    from pgvector_tpu.index.flat import FlatIndex
+    from pgvector_tpu.index.hnsw import HNSWIndex
+    from pgvector_tpu.planner import choose_path
+    from pgvector_tpu.store.table import DenseTable
+
+    rng = np.random.default_rng(18)
+    n = 60_000
+    db = rng.normal(size=(n, 24)).astype(np.float32)
+    t = DenseTable(24)
+    t.insert(db)
+    h = HNSWIndex(t, Metric.L2, m=8, ef_construction=32, wave_size=1024,
+                  beam_expand=4)
+    q = db[:64] + 0.01
+    pick = choose_path(t, [h], Metric.L2, ef_search=40)
+    flat = FlatIndex(t, Metric.L2)
+
+    def bench(fn):
+        fn()  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            fn()
+        return (time.perf_counter() - t0) / 3
+
+    t_exact = bench(lambda: flat.search(q, 10))
+    t_hnsw = bench(lambda: h.search(q, 10, ef_search=40))
+    t_pick = t_hnsw if pick.kind == "hnsw" else t_exact
+    assert t_pick <= 1.3 * min(t_exact, t_hnsw), (
+        f"planner picked {pick.kind} but exact={t_exact:.4f}s "
+        f"hnsw={t_hnsw:.4f}s")

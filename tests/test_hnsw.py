@@ -274,3 +274,54 @@ def test_packed_scan_invalidated_by_mutation(data, monkeypatch):
     _, e_i = FlatIndex(table, Metric.L2).search(q, 10)
     _, r = idx.search(q, 10, ef_search=80)
     assert recall_at_k(r, e_i) >= 0.90
+
+
+def test_l_unroll_derived_from_capacity_and_m():
+    """hnsw.h:133 level bound, size-derived: the unroll depth must cover
+    the plausible max level at any capacity without an env knob."""
+    table = DenseTable(8)
+    table.insert(np.zeros((4, 8), np.float32))
+    # 16M-element capacity at m=16 → log_16(16M) = 6 levels
+    idx = HNSWIndex(table, Metric.L2, m=16, ef_construction=32, build=False,
+                    capacity=16_000_000)
+    assert idx._l_unroll == 6
+    # 1M at m=16 → 5; tiny at m=16 → floor of 2
+    assert HNSWIndex(table, Metric.L2, m=16, ef_construction=32, build=False,
+                     capacity=1_000_000)._l_unroll == 5
+    assert HNSWIndex(table, Metric.L2, m=16, ef_construction=32,
+                     build=False)._l_unroll >= 2
+    # m=2 graphs are tall: 8k elements → 13 → clamped at L_MAX=12
+    idx2 = HNSWIndex(table, Metric.L2, m=2, ef_construction=8, build=False,
+                     capacity=8192)
+    assert idx2._l_unroll == 12
+    # growth deepens the unroll (never shrinks)
+    idx3 = HNSWIndex(table, Metric.L2, m=4, ef_construction=8, build=False,
+                     capacity=1024)
+    before = idx3._l_unroll
+    idx3.cap_e = 1024  # force a doubling chain
+    for _ in range(6):
+        idx3._grow()
+    assert idx3._l_unroll >= before
+    assert idx3._l_unroll == idx3._derive_l_unroll(idx3.cap_e)
+
+
+def test_tall_graph_levels_and_descent():
+    """m=2 makes multi-level graphs at small n (ml = 1/ln 2): levels must
+    spread past 4 (the old static default), the entry must sit at the top
+    level, and the descent through every level must still find answers."""
+    rng = np.random.default_rng(44)
+    db = rng.normal(size=(2000, 8)).astype(np.float32)
+    table = DenseTable(8)
+    table.insert(db)
+    idx = HNSWIndex(table, Metric.L2, m=2, ef_construction=16,
+                    wave_size=256, beam_expand=4, seed=2)
+    lv = idx.levels[idx.levels >= 0]
+    assert lv.max() > 4, "tall graph expected at m=2"
+    assert lv.max() <= idx._l_unroll
+    assert idx.entry_level == lv.max()
+    # m=2 graphs are inherently sparse (2 links/level) — the floor here
+    # guards the multi-level descent, not graph quality (test/t/012 floors
+    # apply at m=16)
+    _, e_i = FlatIndex(table, Metric.L2).search(db[:16] + 0.01, 10)
+    _, r = idx.search(db[:16] + 0.01, 10, ef_search=128)
+    assert recall_at_k(r, e_i) >= 0.75
