@@ -337,7 +337,8 @@ class IVFFlatIndex:
             grown = np.full(self.table.capacity, -1, np.int64)
             grown[: len(self.assignments)] = self.assignments
             self.assignments = grown
-        post = np.asarray(self.postings)
+        post = np.array(self.postings)  # writable copy (np.asarray of a
+        # device array can be a read-only view)
         cap = post.shape[1]
         # count final per-list fill to size capacity
         extra = np.bincount(a[a >= 0], minlength=self.lists)
