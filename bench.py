@@ -170,6 +170,10 @@ def main():
 
     ivf = None
     if run_ivf:
+        # release the HNSW scan cache (the packed bf16 neighbor copy is
+        # ~8 GB at 1M — holding it while IVF materializes its posting
+        # slabs OOMs a 16 GB chip)
+        idx._nbr_vals = None
         lists = max(min(n // 1000, 32768), 32)  # README.md:336-342 sizing
         t0 = time.time()
         ividx = IVFFlatIndex(table, Metric.L2, lists=lists, seed=1)
@@ -231,6 +235,8 @@ def main():
     if os.environ.get("BENCH_BIT", "0") == "1":
         from pgvector_tpu.rerank import BinaryQuantizedIndex
         from pgvector_tpu.store.table import BitTable
+
+        idx._nbr_vals = None  # release the ~8 GB packed scan copy
 
         t0 = time.time()
         bq = BinaryQuantizedIndex(table, Metric.L2, m=m,
@@ -295,6 +301,8 @@ def main():
                     {"ef": ef, "recall_at_10": round(hits / (nq * k), 4),
                      "qps": round(nq / dt, 1)})
             metric_lanes[mname] = lane
+            midx._nbr_vals = None
+            del midx
             log(f"bench: {mname} {lane}")
 
     out = {

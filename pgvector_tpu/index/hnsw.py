@@ -184,7 +184,12 @@ class HNSWIndex:
         env = os.environ.get("PGVECTOR_TPU_L_UNROLL")
         if env is not None:
             return int(env)
-        need = math.ceil(math.log(max(capacity, 2)) / math.log(self.m))
+        # highest level with ≥2 expected elements: E[count at L] = n·m^-L.
+        # Every extra unroll level costs a full masked beam pass per wave
+        # (measured 1313 vs 1830 rows/s at 1M for unroll 5 vs 4), so don't
+        # pay for levels that hold ~one element.
+        need = math.floor(
+            math.log(max(capacity // 2, 2)) / math.log(self.m))
         return min(L_MAX, max(2, need))
 
     def _init_graph(self, capacity: int) -> None:

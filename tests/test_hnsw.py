@@ -281,16 +281,17 @@ def test_l_unroll_derived_from_capacity_and_m():
     the plausible max level at any capacity without an env knob."""
     table = DenseTable(8)
     table.insert(np.zeros((4, 8), np.float32))
-    # 16M-element capacity at m=16 → log_16(16M) = 6 levels
+    # depth = highest level with ≥2 expected elements (n·m^-L ≥ 2):
+    # 16M at m=16 → 5; 1M at m=16 → 4 (the level-5 population at 1M is
+    # ~one element — not worth a full masked beam pass per wave)
     idx = HNSWIndex(table, Metric.L2, m=16, ef_construction=32, build=False,
                     capacity=16_000_000)
-    assert idx._l_unroll == 6
-    # 1M at m=16 → 5; tiny at m=16 → floor of 2
+    assert idx._l_unroll == 5
     assert HNSWIndex(table, Metric.L2, m=16, ef_construction=32, build=False,
-                     capacity=1_000_000)._l_unroll == 5
+                     capacity=1_000_000)._l_unroll == 4
     assert HNSWIndex(table, Metric.L2, m=16, ef_construction=32,
                      build=False)._l_unroll >= 2
-    # m=2 graphs are tall: 8k elements → 13 → clamped at L_MAX=12
+    # m=2 graphs are tall: 8k elements → clamped at L_MAX=12
     idx2 = HNSWIndex(table, Metric.L2, m=2, ef_construction=8, build=False,
                      capacity=8192)
     assert idx2._l_unroll == 12
