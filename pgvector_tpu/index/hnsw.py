@@ -920,6 +920,9 @@ class HNSWIndex:
             vmode=K.visited_mode(),
             packed_vals=packed_vals,
             rerank=(pdt is not None and pdt != jnp.float32),
+            # experimental straggler cap: bound layer-0 hops (recall trade)
+            max_steps=int(__import__("os").environ.get(
+                "PGVECTOR_TPU_QUERY_MAX_STEPS", 0)),
         )
         #: layer-0 hop count of the last scan — telemetry for FLOP/MFU
         #: accounting (bench.py); a device scalar until read

@@ -1212,12 +1212,13 @@ def _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k: int,
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "metric", "ef", "m", "l_unroll", "k", "heaptids",
-                     "expand", "vmode", "rerank"),
+                     "expand", "vmode", "rerank", "max_steps"),
 )
 def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                  row_valid, fmask, qs, entry, entry_level, ef: int, m: int,
                  l_unroll: int, k: int, heaptids: int, expand: int = 1,
-                 vmode: str = "hash2", packed_vals=None, rerank: bool = False):
+                 vmode: str = "hash2", packed_vals=None, rerank: bool = False,
+                 max_steps: int = 0):
     """Algorithm 5 (hnswscan.c:25-56), TPU mono-jit.
 
     ``packed_vals`` — optional adjacency-packed neighbor values
@@ -1240,7 +1241,8 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
     packed = (packed_vals,) if packed_vals is not None else None
     pool_d, pool_i, _, steps = search_layer(
         score, lambda e: nbrs(e, jnp.int32(0)), qs, cur_d[:, None],
-        cur[:, None], visited, ef=ef, lm=2 * m, max_steps=8 * ef + 64,
+        cur[:, None], visited, ef=ef, lm=2 * m,
+        max_steps=max_steps or (8 * ef + 64),
         expand=expand, vmode=vmode, packed=packed, metric=metric,
     )
     if rerank:
