@@ -923,6 +923,8 @@ class HNSWIndex:
             # experimental straggler cap: bound layer-0 hops (recall trade)
             max_steps=int(__import__("os").environ.get(
                 "PGVECTOR_TPU_QUERY_MAX_STEPS", 0)),
+            pallas_tail=(pdt is not None and K.use_pallas_tail()
+                         and K.visited_mode() == "off"),
         )
         #: layer-0 hop count of the last scan — telemetry for FLOP/MFU
         #: accounting (bench.py); a device scalar until read

@@ -41,6 +41,14 @@ from ..ops.metric import Metric
 BIG = jnp.float32(3.0e38)
 
 
+def use_pallas_tail() -> bool:
+    """Opt-in fused VMEM hop tail for the packed scan
+    (PGVECTOR_TPU_PALLAS_TAIL=1) — see ops/pallas_hop.py."""
+    import os
+
+    return os.environ.get("PGVECTOR_TPU_PALLAS_TAIL", "0") == "1"
+
+
 def use_host_loop() -> bool:
     """Host-driven hop loops are an opt-in fallback (useful when device
     compiles are remote/slow); the mono-jit while_loop path is the default
@@ -305,7 +313,7 @@ def visited_probe(table: jnp.ndarray, elems: jnp.ndarray,
 
 def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
               ef: int, expand: int = 1, disc=None, vmode: str = "hash2",
-              packed=None, metric=None):
+              packed=None, metric=None, pallas_tail: bool = False):
     """One expansion hop: pop the ``expand`` nearest unexpanded candidates
     per query, gather their neighbors, score the unvisited ones, merge into
     the pool.  expand=1 is exactly Algorithm 2's best-first order;
@@ -363,6 +371,16 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
         w = nbrs.shape[1]
         pv = nbr_vals[jnp.maximum(sel_flat, 0)]  # (Q·E, lm, D) slab gather
         v = pv.reshape(nq, w, pv.shape[-1])
+        if pallas_tail and disc is None and vmode == "off":
+            # fused VMEM tail: dedup + in-pool + merge in one kernel
+            # (bit-identical to the unfused path — pallas_hop docstring)
+            from ..ops import pallas_hop
+
+            nd = dense_point_scores(metric, qs, v, nbrs)
+            pool_packed = pool_i * 2 + pool_x.astype(jnp.int32)
+            d, pp = pallas_hop.hop_tail(pool_d, pool_packed, nd, nbrs,
+                                        ef, w)
+            return d, pp >> 1, (pp & 1) == 1, visited, done
         # dup mask in adjacency order (values must stay position-aligned,
         # so no dedup re-sort): mark later copies of an id via a strict
         # lower-triangle compare block
@@ -476,7 +494,8 @@ def _init_pool(qs, init_d, init_i, ef: int):
 
 def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
                  ef: int, lm: int, max_steps: int, expand: int = 1,
-                 disc=None, vmode: str = "hash2", packed=None, metric=None):
+                 disc=None, vmode: str = "hash2", packed=None, metric=None,
+                 pallas_tail: bool = False):
     """Algorithm 2 (HnswSearchLayer, hnswutils.c:822-985), batched, as a
     traced while_loop — for use inside the TPU mono-jits.
 
@@ -503,7 +522,7 @@ def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
                 _hop_body(
                     score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
                     ef, expand, disc=(dd, di), vmode=vmode, packed=packed,
-                    metric=metric,
+                    metric=metric, pallas_tail=pallas_tail,
                 )
             return (pool_d, pool_i, pool_x, visited, dd, di, step + 1, done,
                     sc + scored)
@@ -520,6 +539,7 @@ def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
         pool_d, pool_i, pool_x, visited, done = _hop_body(
             score, neighbors_of, qs, pool_d, pool_i, pool_x, visited, ef,
             expand, vmode=vmode, packed=packed, metric=metric,
+            pallas_tail=pallas_tail,
         )
         return pool_d, pool_i, pool_x, visited, step + 1, done
 
@@ -1212,13 +1232,13 @@ def _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k: int,
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "metric", "ef", "m", "l_unroll", "k", "heaptids",
-                     "expand", "vmode", "rerank", "max_steps"),
+                     "expand", "vmode", "rerank", "max_steps", "pallas_tail"),
 )
 def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                  row_valid, fmask, qs, entry, entry_level, ef: int, m: int,
                  l_unroll: int, k: int, heaptids: int, expand: int = 1,
                  vmode: str = "hash2", packed_vals=None, rerank: bool = False,
-                 max_steps: int = 0):
+                 max_steps: int = 0, pallas_tail: bool = False):
     """Algorithm 5 (hnswscan.c:25-56), TPU mono-jit.
 
     ``packed_vals`` — optional adjacency-packed neighbor values
@@ -1244,6 +1264,7 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
         cur[:, None], visited, ef=ef, lm=2 * m,
         max_steps=max_steps or (8 * ef + 64),
         expand=expand, vmode=vmode, packed=packed, metric=metric,
+        pallas_tail=pallas_tail,
     )
     if rerank:
         pool_d = score(qs, pool_i)  # exact f32 distances for the final pool

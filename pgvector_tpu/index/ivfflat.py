@@ -59,6 +59,10 @@ MAX_DIM_BIT = 64000
 DENSE_OPCLASSES = (Metric.L2, Metric.IP, Metric.COSINE)
 BIT_OPCLASSES = (Metric.HAMMING,)
 
+#: finite "masked" sentinel for the inverted scan — the grouped-selection
+#: one-hot matmul would turn inf·0 into NaN; any real score is far below
+_IVF_BIG = jnp.float32(3.0e38)
+
 
 class IVFFlatIndex:
     """An IVFFlat access method over a DenseTable or BitTable."""
@@ -665,15 +669,45 @@ def _inverted_probe_topk(metric, post_values, post_vsq, ok_post, qs, sel,
                             0.0)
         else:  # IP / normalized-cosine order by -ip
             s = -ip
-        s = jnp.where(okc[:, None, :], s, jnp.inf)
-        neg, p = jax.lax.top_k(-s.reshape(lc * qcap, cap), kk)
+        s = jnp.where(okc[:, None, :], s, _IVF_BIG)
+        rows_c = lc * qcap
+        if cap >= 128 and kk * 64 < cap:
+            # grouped selection: lax.top_k over the whole slab measured
+            # 3.84 s/window at 1M — 12× the scoring matmul (0.32 s).
+            # Reduce to per-64-slot minima (O(1)/element), top-k GROUPS
+            # (exact: ≤ kk groups can hold the kk nearest), then refine
+            # only kk·64 slots via a one-hot MXU select.
+            G = 64
+            ng = cap // G
+            kg = min(kk, ng)
+            sg = s.reshape(rows_c, ng, G)
+            gm = jnp.min(sg, axis=2)
+            _, gsel = jax.lax.top_k(-gm, kg)  # (R, kg) group ids
+            onehot = (gsel[:, :, None]
+                      == jnp.arange(ng, dtype=gsel.dtype)[None, None, :])
+            ref = jax.lax.dot_general(
+                onehot.astype(jnp.float32), sg,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (R, kg, G)
+            neg2, j2 = jax.lax.top_k(-ref.reshape(rows_c, kg * G), kk)
+            g_of = j2 // G
+            gsel_pick = jnp.sum(
+                jnp.where(g_of[:, :, None]
+                          == jnp.arange(kg, dtype=j2.dtype)[None, None, :],
+                          gsel[:, None, :], 0), axis=2)
+            p = gsel_pick * G + j2 % G
+            neg = neg2
+        else:
+            neg, p = jax.lax.top_k(-s.reshape(rows_c, cap), kk)
+        d_sel = jnp.where(-neg >= _IVF_BIG, jnp.inf, -neg)
         if kk < k:
-            neg = jnp.concatenate(
-                [neg, jnp.full((lc * qcap, k - kk), -jnp.inf, neg.dtype)],
+            d_sel = jnp.concatenate(
+                [d_sel, jnp.full((rows_c, k - kk), jnp.inf, d_sel.dtype)],
                 axis=1)
             p = jnp.concatenate(
-                [p, jnp.zeros((lc * qcap, k - kk), p.dtype)], axis=1)
-        d_blk = (-neg).reshape(lc, qcap, k)
+                [p, jnp.zeros((rows_c, k - kk), p.dtype)], axis=1)
+        d_blk = d_sel.reshape(lc, qcap, k)
         p_blk = p.reshape(lc, qcap, k).astype(jnp.int32)
         out_d = jax.lax.dynamic_update_slice(out_d, d_blk, (base, 0, 0))
         out_p = jax.lax.dynamic_update_slice(out_p, p_blk, (base, 0, 0))

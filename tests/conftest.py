@@ -24,8 +24,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: HNSW/IVF kernels are compile-heavy (one
-# mono-jit per metric × kind combo); cache across test runs.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+# mono-jit per metric × kind combo); cache across test runs.  A SEPARATE
+# directory from the TPU bench's .jax_cache — concurrent writers to one
+# cache dir segfaulted inside the zstd cache writer.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -30,3 +30,4 @@ def test_matches_xla(metric, rng):
     d_x, i_x = tiled_topk(score, (db,), db.shape[0], 10)
     assert np.allclose(np.sort(np.asarray(d_p)), np.sort(np.asarray(d_x)),
                        rtol=1e-3, atol=1e-3)
+
