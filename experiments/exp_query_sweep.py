@@ -18,6 +18,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 CKPT = os.environ.get("EXP_CKPT", "/tmp/exp_1m_ckpt")
 N = int(os.environ.get("EXP_N", 1_000_000))
 NQ = int(os.environ.get("EXP_Q", 4000))

@@ -73,8 +73,8 @@ def _dense_row_scores(metric: Metric, qs: jnp.ndarray,
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "n", "k"))
-def _grouped_dense(metric, qs, data, valid, n: int, k: int):
+@functools.partial(jax.jit, static_argnames=("metric", "n", "k", "group"))
+def _grouped_dense(metric, qs, data, valid, n: int, k: int, group: int):
     def score_tile(tile_data):
         return D.dense_scores(metric, qs, tile_data)
 
@@ -83,7 +83,16 @@ def _grouped_dense(metric, qs, data, valid, n: int, k: int):
         return _dense_row_scores(metric, qs, v)
 
     return grouped_exact_topk(score_tile, score_rows, (data,), n, k,
-                              valid=valid)
+                              group=group, valid=valid)
+
+
+def _grouped_group_size(n: int, nq: int) -> int:
+    """Group width balancing the (Q, N/group) group-min matrix (≤ ~1.5 GB)
+    against refine-gather volume (k·group rows per query)."""
+    g = 16
+    while g < 1024 and (n // g) * nq * 4 > 15 * 2**27:
+        g *= 2
+    return g
 
 
 class FlatIndex:
@@ -128,7 +137,9 @@ class FlatIndex:
             self.last_path = "grouped"
             return _grouped_dense(metric, qs, table.data,
                                   table.valid[: table.count],
-                                  table.count, k)
+                                  table.count, k,
+                                  _grouped_group_size(table.count,
+                                                      qs.shape[0]))
         if (mode != "xla" and pallas_topk.supported(metric, table.dtype)
                 and table.dtype == jnp.float32 and table.count >= 4096
                 and k <= 64):

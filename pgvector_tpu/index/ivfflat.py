@@ -115,7 +115,8 @@ class IVFFlatIndex:
         # index state
         self.centroids: Optional[jnp.ndarray] = None  # dense f32 / packed uint32 for bit
         self.centroids_f32: Optional[jnp.ndarray] = None  # float view for bit kmeans
-        self.postings: Optional[jnp.ndarray] = None  # (lists, cap) int32, -1 pad
+        self.postings: Optional[np.ndarray] = None  # host (lists, cap) int32
+        self.postings_flat: Optional[jnp.ndarray] = None  # compact slots
         self.list_lens: Optional[np.ndarray] = None  # host (lists,)
         self.indexed_mask: Optional[np.ndarray] = None  # host: which rows are indexed
         if build:
@@ -260,16 +261,30 @@ class IVFFlatIndex:
         return jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=1).astype(jnp.int32)
 
     def _load_postings(self, assignments: np.ndarray) -> None:
-        """Scatter row ids into the posting matrix — the device-side
+        """Lay row ids out in *compact block* form — the device-side
         equivalent of the reference's sort-by-list-id load (the parallel
         tuplesort of ivfbuild.c:1017-1035 becomes one stable argsort +
-        one vectorized scatter; no per-row host loop)."""
+        one vectorized scatter; no per-row host loop).
+
+        Layout: each list occupies ``ceil(len/cs)`` consecutive blocks of
+        ``cs`` slots in one flat slot array (CSR with block-quantized
+        offsets — the array form of the reference's per-list page chains,
+        ivfbuild.c:271-331).  A padded (lists, max_len) matrix would cost
+        ``lists·max_len`` device slots — measured 13× the row count at
+        10M/4000 lists under k-means skew, i.e. ~67 GB of value copies on
+        a 16 GB chip — while the compact form is ``N + lists·cs/2``."""
         rows = np.flatnonzero(assignments >= 0)
         a = assignments[rows].astype(np.int64)
         counts = np.bincount(a, minlength=self.lists) if len(rows) else \
             np.zeros(self.lists, np.int64)
         cap = max(8, _next_pow2(int(counts.max()) if len(rows) else 1))
         postings = np.full((self.lists, cap), -1, np.int32)
+        # compact block geometry
+        cs = min(self.POST_BLOCK, cap)
+        occ = (counts + cs - 1) // cs  # blocks per list
+        bs = np.zeros(self.lists + 1, np.int64)
+        bs[1:] = np.cumsum(occ)
+        flat = np.full(max(int(bs[-1]), 1) * cs, -1, np.int32)
         if len(rows):
             order = np.argsort(a, kind="stable")
             sr, sa = rows[order], a[order]
@@ -277,7 +292,14 @@ class IVFFlatIndex:
             starts[1:] = np.cumsum(counts)[:-1]
             pos = np.arange(len(sr)) - starts[sa]
             postings[sa, pos] = sr
-        self.postings = jnp.asarray(postings)
+            flat[bs[sa] * cs + pos] = sr
+        self.postings = postings  # host-side canonical (lists, cap) view
+        self._post_cs = cs
+        self._blk_start = bs          # host (lists+1,) block offsets
+        self._blk_occ = occ           # host (lists,) blocks per list
+        self.postings_flat = jnp.asarray(flat)
+        self._blk_start_dev = jnp.asarray(bs[:-1].astype(np.int32))
+        self._blk_occ_dev = jnp.asarray(occ.astype(np.int32))
         self.list_lens = counts.astype(np.int64)
         self.assignments = assignments
         self.indexed_mask = assignments >= 0
@@ -298,31 +320,29 @@ class IVFFlatIndex:
         the TPU analogue of the reference's entry pages, which store each
         list's tuples contiguously (InsertTuples, ivfbuild.c:271-331).
 
-        Probing then gathers whole (POST_BLOCK, dim) contiguous blocks
-        instead of one random table row per candidate: at 1M rows /
-        probes=10 the per-row gather moved ~10 GB of scattered 512-byte
-        reads per 1000-query batch (measured 352 qps); block gathers
-        stream the same bytes at near-HBM bandwidth.  Values are stored
-        *formed* (normalized for cosine opclasses, sql/vector.sql:437-441)
-        in the table's dtype."""
-        post = self.postings  # (lists, cap)
-        cap = post.shape[1]
-        cs = min(cap, self.POST_BLOCK)
-        self._post_cs = cs
-        safe = jnp.maximum(post, 0)
-        pv = self.table.data[safe]  # (lists, cap, W)
-        pv = jnp.where((post >= 0)[..., None], pv, 0)
+        Probing then streams whole (cs, dim) contiguous blocks of the
+        compact slot array instead of one random table row per candidate:
+        at 1M rows / probes=10 the per-row gather moved ~10 GB of
+        scattered 512-byte reads per 1000-query batch (measured 352 qps);
+        block reads stream the same bytes at near-HBM bandwidth.  Values
+        are stored *formed* (normalized for cosine opclasses,
+        sql/vector.sql:437-441) in the table's dtype."""
+        flat = self.postings_flat  # (NB·cs,) compact slots
+        cs = self._post_cs
+        safe = jnp.maximum(flat, 0)
+        pv = self.table.data[safe]  # (NB·cs, W)
+        pv = jnp.where((flat >= 0)[:, None], pv, 0)
         if not self._is_bit and self._normalized:
             pvf = pv.astype(jnp.float32)
             nrm = jnp.sqrt(jnp.sum(pvf * pvf, axis=-1, keepdims=True))
             pv = (pvf / jnp.maximum(nrm, 1e-30)).astype(pv.dtype)
         w = pv.shape[-1]
-        self.post_values = pv.reshape(self.lists * (cap // cs), cs, w)
+        self.post_values = pv.reshape(-1, cs, w)  # (NB, cs, W)
         # |v|² per posting slot (f32, from the stored values) — feeds the
         # inverted scan's L2 form without re-reducing the slab per call
         if not self._is_bit:
             pvf = pv.astype(jnp.float32)
-            self.post_vsq = jnp.sum(pvf * pvf, axis=-1)  # (lists, cap)
+            self.post_vsq = jnp.sum(pvf * pvf, axis=-1).reshape(-1, cs)
         else:
             self.post_vsq = None
 
@@ -341,42 +361,38 @@ class IVFFlatIndex:
             grown = np.full(self.table.capacity, -1, np.int64)
             grown[: len(self.assignments)] = self.assignments
             self.assignments = grown
-        post = np.array(self.postings)  # writable copy (np.asarray of a
-        # device array can be a read-only view)
-        cap = post.shape[1]
-        # count final per-list fill to size capacity
-        extra = np.bincount(a[a >= 0], minlength=self.lists)
-        if (self.list_lens + extra).max() > cap:
-            new_cap = _next_pow2(int((self.list_lens + extra).max()))
-            post = np.concatenate(
-                [post, np.full((self.lists, new_cap - cap), -1, np.int32)], axis=1
-            )
         self.assignments[rows] = a
-        live = a >= 0
-        ins_rows, ins_a = rows[live], a[live].astype(np.int64)
-        if len(ins_rows):
-            # vectorized append: slot = current fill + within-batch rank
-            order = np.argsort(ins_a, kind="stable")
-            sr, sa = ins_rows[order], ins_a[order]
-            batch_counts = np.bincount(sa, minlength=self.lists)
-            starts = np.zeros(self.lists, np.int64)
-            starts[1:] = np.cumsum(batch_counts)[:-1]
-            pos = self.list_lens[sa] + (np.arange(len(sr)) - starts[sa])
-            post[sa, pos] = sr
-            self.list_lens = self.list_lens + batch_counts
-        grew = post.shape[1] != int(self.postings.shape[1])
-        self.postings = jnp.asarray(post)
         self.indexed_mask = self.assignments >= 0
-        if len(ins_rows) == 0:
+        live = a >= 0
+        if not live.any():
             return
-        if grew:
-            self._refresh_post_values()
+        cs = self._post_cs
+        # a batch fits in place iff every touched list keeps len ≤ its
+        # allocated blocks (tail-block spare slots — the array analogue of
+        # the reference's insertPage free space, ivfinsert.c:72-181);
+        # otherwise re-lay the compact blocks (≈ the reference extending a
+        # list's page chain, amortized over the spare half-block)
+        extra = np.bincount(a[live], minlength=self.lists)
+        if ((self.list_lens + extra) > self._blk_occ * cs).any():
+            self._load_postings(self.assignments)
             return
+        ins_rows, ins_a = rows[live], a[live].astype(np.int64)
+        # vectorized append: slot = current fill + within-batch rank
+        order = np.argsort(ins_a, kind="stable")
+        sr, sa = ins_rows[order], ins_a[order]
+        batch_counts = np.bincount(sa, minlength=self.lists)
+        starts = np.zeros(self.lists, np.int64)
+        starts[1:] = np.cumsum(batch_counts)[:-1]
+        pos = self.list_lens[sa] + (np.arange(len(sr)) - starts[sa])
+        self.postings[sa, pos] = sr
+        self.list_lens = self.list_lens + batch_counts
+        flat_slots = self._blk_start[sa] * cs + pos
+        self.postings_flat = self.postings_flat.at[
+            jnp.asarray(flat_slots.astype(np.int32))].set(
+                jnp.asarray(sr.astype(np.int32)))
         # targeted post_values update: scatter the formed values of just
         # the appended rows into their (block, offset) slots
-        cs = self._post_cs
-        ncs = post.shape[1] // cs
-        blk = jnp.asarray((sa * ncs + pos // cs).astype(np.int32))
+        blk = jnp.asarray((self._blk_start[sa] + pos // cs).astype(np.int32))
         off_in = jnp.asarray((pos % cs).astype(np.int32))
         v = self.table.data[jnp.asarray(sr)]
         if not self._is_bit and self._normalized:
@@ -386,10 +402,8 @@ class IVFFlatIndex:
         self.post_values = self.post_values.at[blk, off_in].set(v)
         if not self._is_bit:
             vf32 = v.astype(jnp.float32)
-            self.post_vsq = self.post_vsq.at[
-                jnp.asarray(sa.astype(np.int32)),
-                jnp.asarray(pos.astype(np.int32)),
-            ].set(jnp.sum(vf32 * vf32, axis=-1))
+            self.post_vsq = self.post_vsq.at[blk, off_in].set(
+                jnp.sum(vf32 * vf32, axis=-1))
 
     # ----------------------------------------------------------------- vacuum
     def vacuum(self) -> None:
@@ -526,48 +540,60 @@ class IVFFlatIndex:
                 qs, order, off, batch, k, valid, fmask)
         return self._probe_batch_blocks(qs, order, off, batch, k, valid, fmask)
 
+    #: work-item shape knobs for the inverted scan: each item scores a
+    #: chunk of ≤ WORK_QC queries that probed one list against one window
+    #: of that list's posting slab (≈ WORK_SLOTS slots).  Fixed shapes kill
+    #: the padding skew of the earlier (lists, qcap)·(lists, cap) form,
+    #: where one hot list (qcap 4096 on a 40-query average) and one long
+    #: list (cap 8192 on a 1000-row average) inflated the scored volume
+    #: ~840× over the real edge work (profiled at 1M/4000q/probes=10).
+    WORK_QC = 64
+    WORK_SLOTS = 1024
+
     def _probe_batch_inverted(self, qs, order, off, batch, k, valid, fmask):
         """Per-list inversion of the probe scan (BENCH_NOTES.md roadmap #1).
 
         The reference scans each probed list's entry pages per query
         (ivfscan.c:123-187); with thousands of concurrent queries the same
         list is probed by many of them, so the TPU form flips the loop:
-        one pass over all lists, each list's slab read once (contiguous —
-        streams at HBM bandwidth) and scored against the up-to-``qcap``
-        queries that probed it.  ``qcap`` is the max queries-per-list of
-        this window, bucketed to a power of two to bound jit variants."""
+        each probed list's slab is streamed once and scored against all of
+        its probing queries.  The (query → list) edge set is decomposed
+        host-side into fixed-shape work items — (list, ≤WORK_QC queries,
+        one slab window) — so neither query skew nor list-length skew
+        inflates the scored volume; the host already syncs the probe
+        selection for bucketing, so this costs no extra round-trip."""
         nq = qs.shape[0]
-        sel = jax.lax.dynamic_slice(order, (0, off), (nq, batch))
-        # host-side max queries-per-list → static qcap bucket
-        counts = np.bincount(np.asarray(sel).reshape(-1), minlength=self.lists)
-        qcap = _next_pow2(max(int(counts.max()), 8))
-        cap = self.postings.shape[1]
-        w = self.post_values.shape[-1]
-        # list-chunk size: bound the (LC, qcap, cap) score block to ~64 MB
-        lc = max(1, (1 << 24) // max(qcap * cap, 1))
-        lc = min(_next_pow2(lc), self.lists)
-        while self.lists % lc:
-            lc //= 2
-        if fmask is None:
-            fmask = jnp.ones(self.table.capacity, jnp.bool_)
-        # slot-order validity: the kernel works in (list, slot) space and
+        sel_np = np.asarray(
+            jax.lax.dynamic_slice(order, (0, off), (nq, batch)))
+        cs = self._post_cs
+        Qc = self.WORK_QC
+        Wb = max(1, self.WORK_SLOTS // cs)
+        work = _build_work_items(sel_np, self._blk_start, self._blk_occ,
+                                 Qc, Wb)
+        if work is None:  # every probed list is empty
+            return (jnp.full((nq, k), jnp.inf, jnp.float32),
+                    jnp.full((nq, k), -1, jnp.int32))
+        eq, blkbase, wlen, qmap = work
+        # slot-order validity: the kernel works in compact-slot space and
         # never touches row ids until the end, so deletes/filters must be
         # expressed per posting slot.  Fast path: nothing dead, no filter →
-        # ok ≡ slot occupied (postings >= 0), no gather at all.
+        # ok ≡ slot occupied (postings_flat >= 0), no gather at all.
         if fmask is None and not bool(
                 jnp.any(~valid[: self.table.count])):
-            ok_post = self.postings >= 0
+            ok_post = self.postings_flat >= 0
         else:
             fm = fmask if fmask is not None else \
                 jnp.ones(self.table.capacity, jnp.bool_)
-            safe = jnp.maximum(self.postings, 0)
-            ok_post = (self.postings >= 0) & valid[safe] & fm[safe]
-        d, vids = _inverted_probe_topk(
-            self.metric, self.post_values.reshape(self.lists, cap, w),
-            self.post_vsq, ok_post, qs, sel, k=k, qcap=qcap, lc=lc,
+            safe = jnp.maximum(self.postings_flat, 0)
+            ok_post = (self.postings_flat >= 0) & valid[safe] & fm[safe]
+        d, vids = _workitem_probe_topk(
+            self.metric, self.post_values, self.post_vsq,
+            ok_post.reshape(-1, cs), qs,
+            jnp.asarray(eq), jnp.asarray(blkbase), jnp.asarray(wlen),
+            jnp.asarray(qmap), k=k, Qc=Qc, Wb=Wb, cs=cs,
         )
-        # virtual (list·cap + slot) → row ids, one (Q, k) gather at the end
-        rows = self.postings.reshape(-1)[jnp.maximum(vids, 0)]
+        # virtual compact slot → row ids, one (Q, k) gather at the end
+        rows = self.postings_flat[jnp.maximum(vids, 0)]
         return d, jnp.where(vids >= 0, rows, -1)
 
     def _probe_batch_blocks(self, qs, order, off, batch, k, valid, fmask):
@@ -579,12 +605,13 @@ class IVFFlatIndex:
         sel = jax.lax.dynamic_slice(
             order, (0, off), (nq, batch)
         )  # (Q, batch) list ids
-        cap = self.postings.shape[1]
         cs = self._post_cs
-        ncs = cap // cs
-        # expand list ids to block ids
-        selb = (sel[:, :, None] * ncs
-                + jnp.arange(ncs, dtype=sel.dtype)).reshape(nq, batch * ncs)
+        ncs = max(int(self._blk_occ.max()), 1)
+        # expand list ids to compact block ids (-1 past a list's last block)
+        j = jnp.arange(ncs, dtype=sel.dtype)
+        selb = self._blk_start_dev[sel][:, :, None] + j
+        selb = jnp.where(j[None, None, :] < self._blk_occ_dev[sel][:, :, None],
+                         selb, -1).reshape(nq, batch * ncs)
         width = t.words if self._is_bit else t.dim
         # blocks per chunk: gathered chunk ≤ ~64 MB
         bc = max(1, (1 << 26) // max(nq * cs * width * 4, 1))
@@ -600,138 +627,230 @@ class IVFFlatIndex:
         qrep = D.pack_bits(qs > 0.5) if self._is_bit else qs
         return _probe_topk(
             self.metric, self._is_bit, self.post_values,
-            self.postings.reshape(-1, cs), qrep, selb, valid, fmask, k,
+            self.postings_flat.reshape(-1, cs), qrep, selb, valid, fmask, k,
             n_chunks,
         )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("metric", "k", "qcap", "lc")
-)
-def _inverted_probe_topk(metric, post_values, post_vsq, ok_post, qs, sel,
-                         k: int, qcap: int, lc: int):
-    """Query-grouped probe scan: (Q, B) probed list ids → per-query
-    smallest-k (distances, virtual ids), where a virtual id is
-    ``list·cap + slot`` (the caller translates to row ids with one final
-    gather — no gathers run inside the scan loop, where this toolchain
-    has miscompiled gather-behind-top_k fusions before).
+def _build_work_items(sel_np, blk_start, blk_occ, Qc: int, Wb: int):
+    """Decompose the (query → probed list) edge set into fixed-shape work
+    items, fully vectorized on the host (numpy over ≤ Q·probes edges).
 
-    Steps:
-    1. sort the (q → list) edge list by list; slot each edge into a
-       (lists, qcap) query matrix (the device analogue of the reference's
-       per-query pairingheap of probed lists, ivfscan.c:47-118).
-    2. lax.scan over list chunks: dynamic_slice the chunk's value slabs
-       (contiguous → streams at HBM bandwidth), one batched matmul against
-       the chunk's probing queries, top-k per (list, query) over the slab.
-    3. un-invert: per original edge, read back its (list, slot) top-k,
-       regroup per query, merge.
+    A work item is (one list, ≤Qc of its probing queries, one window of
+    ≤Wb consecutive posting blocks).  Returns ``(eq, blkbase, wlen, qmap)``:
+
+    - ``eq``        (R, Qc) int32: query ids per item, -1 padded
+    - ``blkbase``   (R,)    int32: first compact block id of the window
+                    (a list's blocks are consecutive rows of the block
+                    table, so the window is ``blkbase + arange(Wb)``)
+    - ``wlen``      (R,)    int32: valid blocks in the window (a list's
+                    last window may be short — blocks past it belong to
+                    the NEXT list in the compact layout and must be
+                    masked, not scored)
+    - ``qmap``      (Q, emax) int32: for each query, the flat ``row·Qc +
+                    slot`` work positions holding its results, -1 padded
+
+    or None when no probed list has any postings.  This is the device
+    analogue of the reference's per-query pairingheap of probed lists
+    (ivfscan.c:47-118), re-cut for the MXU: fixed shapes mean query skew
+    (one hot list) and list-length skew cost padding only within one item.
     """
-    nq, batch = sel.shape
-    lists, cap, w = post_values.shape
-    e = nq * batch
-    # --- 1. invert --------------------------------------------------------
-    l_of_e = sel.reshape(-1).astype(jnp.int32)
-    eid = jnp.arange(e, dtype=jnp.int32)
-    sl, se = jax.lax.sort((l_of_e, eid), num_keys=1)
-    newrun = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sl[1:] != sl[:-1]])
-    idx = jnp.arange(e, dtype=jnp.int32)
-    pos = idx - jax.lax.cummax(jnp.where(newrun, idx, 0))
-    edge_q = jnp.full((lists, qcap), -1, jnp.int32).at[sl, pos].set(
-        se // batch, mode="drop")
-    # inverse map: original edge → its slot position within its list
-    _, pos_of_e = jax.lax.sort((se, pos), num_keys=1)
+    nq, batch = sel_np.shape
+    occ = blk_occ
+    win = (occ + Wb - 1) // Wb  # windows per list (0 for empty lists)
+    qid = np.repeat(np.arange(nq, dtype=np.int64), batch)
+    lid = sel_np.reshape(-1).astype(np.int64)
+    keep = win[lid] > 0
+    qid, lid = qid[keep], lid[keep]
+    if len(lid) == 0:
+        return None
+    order = np.argsort(lid, kind="stable")
+    qid_s, lid_s = qid[order], lid[order]
+    ulist, inv, ucount = np.unique(lid_s, return_inverse=True,
+                                   return_counts=True)
+    nu = len(ulist)
+    uwin = win[ulist]
+    qch = (ucount + Qc - 1) // Qc
+    rows_per = qch * uwin
+    row0 = np.zeros(nu + 1, np.int64)
+    row0[1:] = np.cumsum(rows_per)
+    R = int(row0[-1])
+    # per-item rows are (query-chunk major, window minor) within a list
+    uidx_of_row = np.repeat(np.arange(nu), rows_per)
+    within = np.arange(R) - row0[uidx_of_row]
+    wrow = within % uwin[uidx_of_row]
+    Rp = _next_pow2(R)
+    blkbase = np.full(Rp, -1, np.int32)
+    blkbase[:R] = (blk_start[ulist[uidx_of_row]] + wrow * Wb).astype(np.int32)
+    wlen = np.zeros(Rp, np.int32)
+    wlen[:R] = np.minimum(Wb, occ[ulist[uidx_of_row]] - wrow * Wb)
+    # fill eq: edge j at rank r within its list sits in query-chunk r//Qc
+    # slot r%Qc, replicated across the list's uwin windows
+    estart = np.zeros(nu, np.int64)
+    estart[1:] = np.cumsum(ucount)[:-1]
+    rank = np.arange(len(lid_s)) - estart[inv]
+    rep = uwin[inv]
+    tot = int(rep.sum())
+    eidx = np.repeat(np.arange(len(lid_s)), rep)
+    w_off = np.arange(tot) - np.repeat(np.cumsum(rep) - rep, rep)
+    rows_e = (row0[inv[eidx]] + (rank[eidx] // Qc) * rep[eidx] + w_off)
+    slot_e = rank[eidx] % Qc
+    eq = np.full((Rp, Qc), -1, np.int32)
+    eq[rows_e, slot_e] = qid_s[eidx]
+    # qmap: every (edge × window) result position, grouped per query
+    flat_pos = rows_e * Qc + slot_e
+    qe = qid_s[eidx]
+    o2 = np.argsort(qe, kind="stable")
+    qe_s, fp_s = qe[o2], flat_pos[o2]
+    cnt_q = np.bincount(qe_s, minlength=nq)
+    emax = _next_pow2(max(int(cnt_q.max()), 1))
+    qmap = np.full((nq, emax), -1, np.int32)
+    st = np.zeros(nq, np.int64)
+    st[1:] = np.cumsum(cnt_q)[:-1]
+    qmap[qe_s, np.arange(len(qe_s)) - st[qe_s]] = fp_s.astype(np.int32)
+    return eq, blkbase, wlen, qmap
 
-    # --- 2. chunked list scan --------------------------------------------
+
+def _rowwise_smallest(s, kk: int):
+    """(R, C) scores → smallest-kk (values, positions).  For wide C uses
+    grouped selection: lax.top_k over a whole 8192-slot slab measured
+    3.84 s/window at 1M — 12× the scoring matmul (0.32 s).  Reduce to
+    per-64-slot minima (O(1)/element), top-k GROUPS (exact: ≤ kk groups
+    can hold the kk nearest), then refine only kk·64 slots via a one-hot
+    MXU select."""
+    rows_c, capc = s.shape
+    if not (capc >= 128 and kk * 64 < capc):
+        neg, p = jax.lax.top_k(-s, kk)
+        return -neg, p
+    G = 64
+    ng = capc // G
+    kg = min(kk, ng)
+    sg = s.reshape(rows_c, ng, G)
+    gm = jnp.min(sg, axis=2)
+    _, gsel = jax.lax.top_k(-gm, kg)  # (R, kg) group ids
+    # pin the top_k output before feeding the one-hot select: this
+    # toolchain has miscompiled selects fused behind top_k before
+    # (the _row_gather workaround, BENCH_NOTES.md); recall dropped
+    # 1.0 → 0.9833 without the barrier
+    gsel = jax.lax.optimization_barrier(gsel)
+    onehot = (gsel[:, :, None]
+              == jnp.arange(ng, dtype=gsel.dtype)[None, None, :])
+    ref = jax.lax.dot_general(
+        onehot.astype(jnp.float32), sg,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        # the select must COPY scores exactly: default precision
+        # would bf16-round sg, corrupting near-tie refinement
+        # (measured recall 1.0 → 0.9833 on TPU)
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (R, kg, G)
+    neg2, j2 = jax.lax.top_k(-ref.reshape(rows_c, kg * G), kk)
+    j2 = jax.lax.optimization_barrier(j2)
+    g_of = j2 // G
+    gsel_pick = jnp.sum(
+        jnp.where(g_of[:, :, None]
+                  == jnp.arange(kg, dtype=j2.dtype)[None, None, :],
+                  gsel[:, None, :], 0), axis=2)
+    return -neg2, gsel_pick * G + j2 % G
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "k", "Qc", "Wb", "cs")
+)
+def _workitem_probe_topk(metric, post_blocks, post_bsq, ok_blocks, qs,
+                         eq, blkbase, wlen, qmap, k: int, Qc: int, Wb: int,
+                         cs: int):
+    """Fixed-shape work-item probe scan → per-query smallest-k
+    (distances, virtual ids), a virtual id being the flat ``list·cap +
+    slot`` posting position (the caller translates to row ids with one
+    final gather — no gathers run fused behind top_k, where this
+    toolchain has miscompiled before).
+
+    Per work item: gather its Wb posting blocks (256 KB contiguous rows
+    of the block table — row-count-bound, so a few thousand block rows
+    cost microseconds), gather its ≤Qc query rows, one batched matmul,
+    grouped top-k over the C = Wb·cs window.  Then one (Q, emax) gather
+    re-groups item results per query and a final top_k merges."""
+    Rp = eq.shape[0]
+    NB, _, w = post_blocks.shape
+    C = Wb * cs
+    kk = min(k, C)
+    nq, emax = qmap.shape
+    # chunk size: bound the (rc, C, w) f32 value block to ~128 MB (960-d
+    # halfvec windows are ~8× wider than 128-d SIFT rows)
+    rc = 128
+    while rc > 8 and rc * C * w * 4 > (1 << 27):
+        rc //= 2
+    rc = min(Rp, rc)
+    n_steps = Rp // rc
     if metric is Metric.L2:
         qsq = jnp.sum(qs.astype(jnp.float32) ** 2, axis=1)
-    kk = min(k, cap)
-    n_steps = lists // lc
+    woff = jnp.arange(Wb, dtype=jnp.int32)
 
-    def step(carry, c):
-        out_d, out_p = carry
-        base = c * lc
-        eq = jax.lax.dynamic_slice(edge_q, (base, 0), (lc, qcap))
-        qv = qs[jnp.maximum(eq, 0)].astype(jnp.float32)  # (lc, qcap, D)
-        vals = jax.lax.dynamic_slice(
-            post_values, (base, 0, 0), (lc, cap, w)).astype(jnp.float32)
-        okc = jax.lax.dynamic_slice(ok_post, (base, 0), (lc, cap))
+    def step(_, c):
+        base = c * rc
+        eqc = jax.lax.dynamic_slice(eq, (base, 0), (rc, Qc))
+        bbc = jax.lax.dynamic_slice(blkbase, (base,), (rc,))
+        wlc = jax.lax.dynamic_slice(wlen, (base,), (rc,))
+        bids = jnp.minimum(jnp.maximum(bbc, 0)[:, None] + woff,
+                           NB - 1)  # (rc, Wb) clamped to the block table
+        vals = post_blocks[bids].reshape(rc, C, w).astype(jnp.float32)
+        # mask: dead rows, and slots past the window's valid blocks (a
+        # short tail window would otherwise score the NEXT list's slab)
+        okc = (ok_blocks[bids].reshape(rc, C)
+               & (bbc >= 0)[:, None]
+               & (jnp.arange(C, dtype=jnp.int32)[None, :]
+                  < wlc[:, None] * cs))
+        qv = qs[jnp.maximum(eqc, 0)].astype(jnp.float32)  # (rc, Qc, D)
         ip = jax.lax.dot_general(
             qv, vals,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=D.dot_precision(),
-        )  # (lc, qcap, cap)
+        )  # (rc, Qc, C)
         if metric is Metric.L2:
-            vsq = jax.lax.dynamic_slice(post_vsq, (base, 0), (lc, cap))
-            qsq_c = qsq[jnp.maximum(eq, 0)]
-            s = jnp.maximum(qsq_c[:, :, None] - 2.0 * ip + vsq[:, None, :],
+            bsq = post_bsq[bids].reshape(rc, C)
+            qsq_c = qsq[jnp.maximum(eqc, 0)]
+            s = jnp.maximum(qsq_c[:, :, None] - 2.0 * ip + bsq[:, None, :],
                             0.0)
         else:  # IP / normalized-cosine order by -ip
             s = -ip
         s = jnp.where(okc[:, None, :], s, _IVF_BIG)
-        rows_c = lc * qcap
-        if cap >= 128 and kk * 64 < cap:
-            # grouped selection: lax.top_k over the whole slab measured
-            # 3.84 s/window at 1M — 12× the scoring matmul (0.32 s).
-            # Reduce to per-64-slot minima (O(1)/element), top-k GROUPS
-            # (exact: ≤ kk groups can hold the kk nearest), then refine
-            # only kk·64 slots via a one-hot MXU select.
-            G = 64
-            ng = cap // G
-            kg = min(kk, ng)
-            sg = s.reshape(rows_c, ng, G)
-            gm = jnp.min(sg, axis=2)
-            _, gsel = jax.lax.top_k(-gm, kg)  # (R, kg) group ids
-            onehot = (gsel[:, :, None]
-                      == jnp.arange(ng, dtype=gsel.dtype)[None, None, :])
-            ref = jax.lax.dot_general(
-                onehot.astype(jnp.float32), sg,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # (R, kg, G)
-            neg2, j2 = jax.lax.top_k(-ref.reshape(rows_c, kg * G), kk)
-            g_of = j2 // G
-            gsel_pick = jnp.sum(
-                jnp.where(g_of[:, :, None]
-                          == jnp.arange(kg, dtype=j2.dtype)[None, None, :],
-                          gsel[:, None, :], 0), axis=2)
-            p = gsel_pick * G + j2 % G
-            neg = neg2
-        else:
-            neg, p = jax.lax.top_k(-s.reshape(rows_c, cap), kk)
-        d_sel = jnp.where(-neg >= _IVF_BIG, jnp.inf, -neg)
-        if kk < k:
-            d_sel = jnp.concatenate(
-                [d_sel, jnp.full((rows_c, k - kk), jnp.inf, d_sel.dtype)],
-                axis=1)
-            p = jnp.concatenate(
-                [p, jnp.zeros((rows_c, k - kk), p.dtype)], axis=1)
-        d_blk = d_sel.reshape(lc, qcap, k)
-        p_blk = p.reshape(lc, qcap, k).astype(jnp.int32)
-        out_d = jax.lax.dynamic_update_slice(out_d, d_blk, (base, 0, 0))
-        out_p = jax.lax.dynamic_update_slice(out_p, p_blk, (base, 0, 0))
-        return (out_d, out_p), None
+        d_sel, p = _rowwise_smallest(s.reshape(rc * Qc, C), kk)
+        d_sel = jnp.where(d_sel >= _IVF_BIG, jnp.inf, d_sel)
+        # global posting-flat slot = window base slot + position in window
+        # (inf/-pad entries carry garbage slots; the final merge masks
+        # them before any caller-visible id is produced)
+        vslot = (jnp.repeat(bbc, Qc).astype(jnp.int32)[:, None] * cs
+                 + p.astype(jnp.int32))
+        return None, (d_sel.reshape(rc, Qc, kk),
+                      vslot.reshape(rc, Qc, kk))
 
-    init = (jnp.full((lists, qcap, k), jnp.inf, jnp.float32),
-            jnp.full((lists, qcap, k), 0, jnp.int32))
-    (out_d, out_p), _ = jax.lax.scan(
-        step, init, jnp.arange(n_steps, dtype=jnp.int32))
-
-    # --- 3. un-invert -----------------------------------------------------
-    flat_idx = l_of_e * qcap + pos_of_e  # (E,)
-    d_e = out_d.reshape(lists * qcap, k)[flat_idx]   # (E, k) row gather
-    p_e = out_p.reshape(lists * qcap, k)[flat_idx]
-    v_e = l_of_e[:, None] * cap + p_e                # virtual ids
-    v_e = jnp.where(jnp.isinf(d_e), -1, v_e)
-    d_q = d_e.reshape(nq, batch * k)
-    v_q = v_e.reshape(nq, batch * k)
-    negq, selq = jax.lax.top_k(-d_q, k)
+    _, (d_all, v_all) = jax.lax.scan(
+        step, None, jnp.arange(n_steps, dtype=jnp.int32))
+    flat_d = d_all.reshape(Rp * Qc, kk)
+    flat_v = v_all.reshape(Rp * Qc, kk)
+    # re-group per query: (Q, emax) row gather of kk-wide result rows
+    qm = jnp.maximum(qmap, 0)
+    dm = flat_d[qm]  # (Q, emax, kk)
+    vm = flat_v[qm]
+    dm = jnp.where((qmap >= 0)[:, :, None], dm, jnp.inf)
+    width = emax * kk
+    dmf = dm.reshape(nq, width)
+    vmf = vm.reshape(nq, width)
+    if width < k:
+        dmf = jnp.concatenate(
+            [dmf, jnp.full((nq, k - width), jnp.inf, dmf.dtype)], axis=1)
+        vmf = jnp.concatenate(
+            [vmf, jnp.full((nq, k - width), -1, vmf.dtype)], axis=1)
+        width = k
+    negq, selq = jax.lax.top_k(-dmf, k)
+    selq = jax.lax.optimization_barrier(selq)
     d_out = -negq
-    # gather-free id pick (one-hot over batch·k — small)
-    col = jnp.arange(batch * k, dtype=jnp.int32)
+    # gather-free id pick (one-hot over emax·kk — small)
+    col = jnp.arange(width, dtype=jnp.int32)
     hit = col[None, None, :] == selq[:, :, None]
-    v_out = jnp.sum(jnp.where(hit, v_q[:, None, :], 0), axis=2)
+    v_out = jnp.sum(jnp.where(hit, vmf[:, None, :], 0), axis=2)
     return d_out, jnp.where(jnp.isinf(d_out), -1, v_out)
 
 

@@ -251,7 +251,6 @@ def save_ivfflat(idx, path: str) -> None:
     os.makedirs(path, exist_ok=True)
     arrays = {
         "centroids_f32": idx.centroids_f32,
-        "postings": idx.postings,
         "list_lens": idx.list_lens,
         "assignments": idx.assignments,
     }
@@ -279,11 +278,8 @@ def load_ivfflat(table, path: str):
         idx.centroids = D.pack_bits(idx.centroids_f32 > 0.5)
     else:
         idx.centroids = idx.centroids_f32
-    idx.postings = jnp.asarray(_load(path, "postings"))
-    idx.list_lens = _load(path, "list_lens")
-    idx.assignments = _load(path, "assignments")
-    idx.indexed_mask = idx.assignments >= 0
-    # the posting-ordered value copy is derived state — rebuild rather
-    # than persist (the checkpoint stays small; one gather at load)
-    idx._refresh_post_values()
+    # postings layout + the posting-ordered value copy are derived state —
+    # rebuild from the assignment vector rather than persist (the
+    # checkpoint stays small; one scatter + one gather at load)
+    idx._load_postings(_load(path, "assignments"))
     return idx

@@ -74,7 +74,10 @@ def _bitonic_sort(key1, key2, payloads, width: int):
         o1, o2 = partner(k1), partner(k2)
         self_less = (k1 < o1) | ((k1 == o1) & (k2 < o2))
         want_min = low == up
-        take_other = jnp.where(want_min, ~self_less, self_less)
+        # want_min ? ~self_less : self_less ≡ XOR — Mosaic cannot lower a
+        # select between i1 vectors ("Unsupported target bitwidth for
+        # truncation")
+        take_other = want_min ^ self_less
         out = []
         for a in arrs:
             oa = partner(a)

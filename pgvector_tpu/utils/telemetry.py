@@ -107,4 +107,6 @@ def hnsw_hbm_bytes(idx) -> int:
 
 
 def ivfflat_hbm_bytes(idx) -> int:
-    return hbm_bytes(idx.centroids_f32, idx.postings)
+    return hbm_bytes(idx.centroids_f32, idx.postings_flat,
+                     getattr(idx, "post_values", None),
+                     getattr(idx, "post_vsq", None))

@@ -23,13 +23,11 @@ import jax
 # to the in-process CPU so tests run locally on the virtual 8-device mesh.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: HNSW/IVF kernels are compile-heavy (one
-# mono-jit per metric × kind combo); cache across test runs.  A SEPARATE
-# directory from the TPU bench's .jax_cache — concurrent writers to one
-# cache dir segfaulted inside the zstd cache writer.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache for CPU tests: XLA:CPU AOT cache entries
+# round-trip through a machine-feature check that mis-handles the
+# prefer-no-scatter/gather pseudo-features on this image — loading (and
+# racing) such entries segfaulted the suite twice.  CPU compiles are
+# seconds; correctness beats the cache win.
 
 import numpy as np
 import pytest
