@@ -278,6 +278,8 @@ def main():
         # raw Hamming HNSW (no re-rank) for the pure-bit number
         braw = bq.index
         qbits = np.asarray(qs) > 0
+        braw.search(qbits[:batch], k, ef_search=40)  # warm this (k, ef)
+        # jit variant — the rerank path above compiled k·rerank_factor
         t0 = time.time()
         got = [braw.search(qbits[s: s + batch], k, ef_search=40)[1]
                for s in range(0, nq, batch)]
