@@ -205,7 +205,15 @@ class HNSWIndex:
         self.cap_e = capacity
         self.cap_u = max(capacity // max(self.m // 2, 1), 64)
         if self.kind == "dense":
-            self.values = (jnp.zeros((capacity, t.dim), jnp.float32),)
+            # halfvec parity: a 16-bit table's index stores 16-bit values
+            # (the reference's halfvec opclasses index half-precision data,
+            # src/hnsw.c opclass tables); scoring still accumulates in f32.
+            # Halves index HBM for halfvec — 3.84 GB → 1.92 GB at 1M×960-d.
+            self._val_dtype = (
+                t.dtype if jnp.zeros((), t.dtype).dtype.itemsize == 2
+                else jnp.float32
+            )
+            self.values = (jnp.zeros((capacity, t.dim), self._val_dtype),)
         elif self.kind == "bit":
             self.values = (jnp.zeros((capacity, t.words), jnp.uint32),)
         else:
@@ -254,13 +262,14 @@ class HNSWIndex:
         t = self.table
         r = jnp.asarray(rows)
         if self.kind == "dense":
-            vals = t.data[r].astype(jnp.float32)
             if self.metric is Metric.COSINE:
+                vals = t.data[r].astype(jnp.float32)
                 norms = jnp.sqrt(jnp.sum(vals * vals, axis=1, keepdims=True))
                 keep = np.asarray(norms[:, 0] > 0)
-                vals = vals / jnp.maximum(norms, 1e-30)
+                # normalize in f32, store in the index value dtype
+                vals = (vals / jnp.maximum(norms, 1e-30)).astype(self._val_dtype)
                 return (vals,), keep
-            return (vals,), np.ones(len(rows), bool)
+            return (t.data[r].astype(self._val_dtype),), np.ones(len(rows), bool)
         if self.kind == "bit":
             return (t.data[r],), np.ones(len(rows), bool)
         return (t.idx[r], t.val[r]), np.ones(len(rows), bool)
@@ -403,8 +412,12 @@ class HNSWIndex:
 
         if not new_rows:
             return
-        sel = jnp.asarray(np.asarray(new_val_pos, np.int64))
-        values = jax.tree.map(lambda a: a[sel], values)
+        if new_val_pos != list(range(len(rows))):
+            # only gather when dedup actually dropped/merged rows — the
+            # identity gather would copy the full value block (3.8 GB at
+            # 1M×960-d) for nothing
+            sel = jnp.asarray(np.asarray(new_val_pos, np.int64))
+            values = jax.tree.map(lambda a: a[sel], values)
 
         # allocate element slots + levels (vectorized bookkeeping; the only
         # remaining per-element loop is the multi-TID fill for duplicates)

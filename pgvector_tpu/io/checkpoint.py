@@ -52,10 +52,21 @@ def _read_manifest(path: str) -> Dict[str, Any]:
 
 def _save_arrays(path: str, arrays: Dict[str, Any]) -> None:
     for name, arr in arrays.items():
-        np.save(os.path.join(path, name + ".npy"), np.asarray(arr))
+        a = np.asarray(arr)
+        if a.dtype == np.dtype(jnp.bfloat16):
+            # np.save writes ml_dtypes bfloat16 as raw void ("|V2"), which
+            # np.load cannot reinterpret — store the bit pattern as uint16
+            # under a tagged name instead
+            np.save(os.path.join(path, name + ".bf16.npy"),
+                    np.ascontiguousarray(a).view(np.uint16))
+        else:
+            np.save(os.path.join(path, name + ".npy"), a)
 
 
 def _load(path: str, name: str) -> np.ndarray:
+    tagged = os.path.join(path, name + ".bf16.npy")
+    if os.path.exists(tagged):
+        return np.load(tagged).view(np.dtype(jnp.bfloat16))
     return np.load(os.path.join(path, name + ".npy"))
 
 

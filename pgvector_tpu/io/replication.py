@@ -30,10 +30,18 @@ import json
 import os
 from typing import List, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..errors import DataException
 from ..store.table import BitTable, DenseTable, SparseTable
+
+
+def _load_arr(d: str, name: str) -> np.ndarray:
+    tagged = os.path.join(d, name + ".bf16.npy")
+    if os.path.exists(tagged):
+        return np.load(tagged).view(np.dtype(jnp.bfloat16))
+    return np.load(os.path.join(d, name + ".npy"))
 
 _MAGIC = "pgvector-tpu-delta"
 _VERSION = 1
@@ -55,7 +63,14 @@ class ReplicationLog:
         d = os.path.join(self.path, f"delta_{self.seq:08d}")
         os.makedirs(d, exist_ok=True)
         for name, arr in arrays.items():
-            np.save(os.path.join(d, name + ".npy"), np.asarray(arr))
+            a = np.asarray(arr)
+            if a.dtype == np.dtype(jnp.bfloat16):
+                # same tagged-uint16 encoding as io.checkpoint: np.save
+                # writes bfloat16 as opaque "|V2" otherwise
+                np.save(os.path.join(d, name + ".bf16.npy"),
+                        np.ascontiguousarray(a).view(np.uint16))
+            else:
+                np.save(os.path.join(d, name + ".npy"), a)
         payload.update({"magic": _MAGIC, "version": _VERSION, "seq": self.seq})
         with open(os.path.join(d, "record.json"), "w") as f:
             json.dump(payload, f)
@@ -112,19 +127,19 @@ def apply_deltas(table, indexes, path: str, start_seq: int = 0) -> int:
         if rec.get("magic") != _MAGIC:
             raise DataException("invalid delta record: bad magic")
         if rec["op"] == "insert":
-            rows = np.load(os.path.join(d, "rows.npy"))
+            rows = _load_arr(d, "rows")
             if rec["kind"] == "sparse":
                 from ..types import SparseVec
 
-                idx_a = np.load(os.path.join(d, "idx.npy"))
-                val_a = np.load(os.path.join(d, "val.npy"))
+                idx_a = _load_arr(d, "idx")
+                val_a = _load_arr(d, "val")
                 pad = table.pad_index
                 vals = [SparseVec(table.dim, r_i[r_i != pad],
                                   r_v[r_i != pad], _checked=True)
                         for r_i, r_v in zip(idx_a, val_a)]
                 got = table.insert(vals)
             else:  # dense and bit both re-insert raw value blocks
-                got = table.insert(np.load(os.path.join(d, "data.npy")))
+                got = table.insert(_load_arr(d, "data"))
             if not np.array_equal(np.asarray(got, np.int64), rows):
                 raise DataException(
                     "delta replay diverged: replica row ids differ from the "
@@ -132,7 +147,7 @@ def apply_deltas(table, indexes, path: str, start_seq: int = 0) -> int:
             for ix in indexes:
                 ix.insert(got)
         elif rec["op"] == "delete":
-            table.delete(np.load(os.path.join(d, "rows.npy")))
+            table.delete(_load_arr(d, "rows"))
         elif rec["op"] == "vacuum":
             for ix in indexes:
                 ix.vacuum()

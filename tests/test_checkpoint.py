@@ -97,3 +97,33 @@ def test_bad_magic(tmp_path):
     (p / "manifest.json").write_text(json.dumps({"magic": "nope", "version": 1}))
     with pytest.raises(DataException, match="bad magic"):
         load_table(str(p))
+
+
+def test_bf16_table_and_index_roundtrip(tmp_path, rng):
+    """bfloat16 arrays survive save/load bit-exactly.  np.save writes
+    ml_dtypes bfloat16 as raw void ("|V2"); the codec stores the bit
+    pattern as uint16 under a tagged filename instead."""
+    import jax.numpy as jnp
+
+    db = rng.normal(size=(200, 16)).astype(np.float32)
+    t = DenseTable(16, dtype=jnp.bfloat16)
+    t.insert(db)
+    save_table(t, str(tmp_path / "t"))
+    t2 = load_table(str(tmp_path / "t"))
+    assert t2.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(t.data[:200]).astype(np.float32),
+        np.asarray(t2.data[:200]).astype(np.float32),
+    )
+
+    idx = HNSWIndex(t, Metric.L2, m=4, ef_construction=16, seed=0)
+    # a 16-bit table's index stores 16-bit values (halfvec parity)
+    assert idx.values[0].dtype == jnp.bfloat16
+    save_hnsw(idx, str(tmp_path / "i"))
+    idx2 = load_hnsw(t2, str(tmp_path / "i"))
+    assert idx2.values[0].dtype == jnp.bfloat16
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    d1, r1 = idx.search(q, 5)
+    d2, r2 = idx2.search(q, 5)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)

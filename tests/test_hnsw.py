@@ -326,3 +326,26 @@ def test_tall_graph_levels_and_descent():
     _, e_i = FlatIndex(table, Metric.L2).search(db[:16] + 0.01, 10)
     _, r = idx.search(db[:16] + 0.01, 10, ef_search=128)
     assert recall_at_k(r, e_i) >= 0.75
+
+
+def test_explicit_capacity_honored_not_pow2():
+    """An explicitly-requested table capacity allocates ~that many slots
+    (256-row rounded), not the next power of two — a 10M-row table must
+    not silently cost 16.8M rows of HBM."""
+    from pgvector_tpu.store.table import DenseTable
+
+    t = DenseTable(8, capacity=10_000_000)
+    assert t.capacity == 10_000_128
+    t2 = DenseTable(8, capacity=100)  # small requests keep the 1024 floor
+    assert t2.capacity == 1024
+
+
+def test_insert_growth_still_doubles(rng):
+    from pgvector_tpu.store.table import DenseTable
+
+    t = DenseTable(4, capacity=1024)
+    rows = t.insert(rng.normal(size=(1500, 4)).astype(np.float32))
+    assert t.capacity == 2048
+    assert rows[0] == 0 and rows[-1] == 1499 and t.count == 1500
+    np.testing.assert_array_equal(np.asarray(t.valid[:1500]), True)
+    assert not bool(np.asarray(t.valid[1500:]).any())

@@ -113,3 +113,21 @@ def test_divergent_replica_rejected(tmp_path):
 
     with pytest.raises(DataException):
         apply_deltas(bad, [], str(tmp_path / "log"))
+
+
+def test_bf16_delta_roundtrip(tmp_path, rng):
+    """bfloat16 row values survive the delta log bit-exactly (np.save
+    would otherwise write them as opaque |V2 and break replay)."""
+    import jax.numpy as jnp
+    from pgvector_tpu.store.table import DenseTable
+
+    prim = DenseTable(8, dtype=jnp.bfloat16)
+    repl = DenseTable(8, dtype=jnp.bfloat16)
+    log = ReplicationLog(str(tmp_path / "log"))
+    rows = prim.insert(rng.normal(size=(32, 8)).astype(np.float32))
+    log.log_insert(prim, rows)
+    apply_deltas(repl, [], str(tmp_path / "log"))
+    np.testing.assert_array_equal(
+        np.asarray(prim.data[:32]).astype(np.float32),
+        np.asarray(repl.data[:32]).astype(np.float32),
+    )
