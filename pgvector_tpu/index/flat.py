@@ -200,31 +200,87 @@ class FlatIndex:
         )
 
     # -- sparse ------------------------------------------------------------
+    def _sparse_densified(self) -> jnp.ndarray:
+        """Dense f32 [count, dim] copy of the sparse table, cached.
+
+        Tables are functionally updated (every insert/vacuum replaces the
+        idx/val/valid arrays), so array object identity is a sound cache
+        key.  Host-side vectorized scatter — TPU scatters are slow and the
+        copy is one-time per table state."""
+        table: SparseTable = self.table
+        key = (id(table.idx), id(table.val), id(table.valid), table.count)
+        cached = getattr(self, "_dense_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        idx = np.asarray(table.idx[: table.count])
+        val = np.asarray(table.val[: table.count])
+        dense = np.zeros((table.count, table.dim), dtype=np.float32)
+        live = idx < table.pad_index
+        rows = np.broadcast_to(
+            np.arange(table.count, dtype=np.int64)[:, None], idx.shape
+        )
+        dense[rows[live], idx[live]] = val[live]
+        data = jnp.asarray(dense)
+        self._dense_cache = (key, data)
+        return data
+
     def _search_sparse(self, q, k: int):
         table: SparseTable = self.table
         if isinstance(q, SparseVec):
             q = [q]
-        pq = max(max((sv.nnz for sv in q), default=1), 1)
-        q_idx = np.full((len(q), pq), table.pad_index, dtype=np.int32)
-        q_val = np.zeros((len(q), pq), dtype=np.float32)
-        for r, sv in enumerate(q):
+        for sv in q:
             if sv.dim != table.dim:
                 raise DataException(
                     f"different sparsevec dimensions {sv.dim} and {table.dim}"
                 )
+        metric = self.metric
+        import os
+
+        # Densified fast path: scores via one MXU matmul sweep (grouped
+        # engine).  The merge-join kernel vmapped over thousands of queries
+        # materializes [Q, tile, nnz] gathers that lane-pad 4x (35 GB at
+        # 4000q x 8192 x 32 — a measured compile-time OOM); dense rows keep
+        # the exact same L2/IP/cosine values (dropped zeros are zeros).
+        budget = float(os.environ.get("PGVECTOR_TPU_SPARSE_DENSIFY_GB", "8"))
+        dense_bytes = table.count * table.dim * 4
+        if (metric in (Metric.L2, Metric.IP, Metric.COSINE)
+                and table.count >= 4096 and dense_bytes <= budget * 2**30):
+            qs = np.zeros((len(q), table.dim), dtype=np.float32)
+            for r, sv in enumerate(q):
+                qs[r, sv.indices] = sv.values
+            self.last_path = "grouped-densified"
+            return _grouped_dense(
+                metric, jnp.asarray(qs), self._sparse_densified(),
+                table.valid[: table.count], table.count, k,
+                _grouped_group_size(table.count, len(q)),
+            )
+
+        pq = max(max((sv.nnz for sv in q), default=1), 1)
+        q_idx = np.full((len(q), pq), table.pad_index, dtype=np.int32)
+        q_val = np.zeros((len(q), pq), dtype=np.float32)
+        for r, sv in enumerate(q):
             q_idx[r, : sv.nnz] = sv.indices
             q_val[r, : sv.nnz] = sv.values
-        q_idx = jnp.asarray(q_idx)
-        q_val = jnp.asarray(q_val)
-        metric = self.metric
+        self.last_path = "xla-sparse"
 
-        def score(tile_idx, tile_val):
-            return D.sparse_scores_batch(metric, q_idx, q_val, tile_idx, tile_val)
+        # Bound the [chunk, tile, nnz] merge-join temps: lane padding
+        # expands nnz to 128, so a full 4000-query batch is a compile-time
+        # OOM; ≤256-query chunks keep temps ~2 GB at tile 8192.
+        chunk = int(os.environ.get("PGVECTOR_TPU_SPARSE_CHUNK", "256"))
+        outs = []
+        for s in range(0, len(q), chunk):
+            ci = jnp.asarray(q_idx[s : s + chunk])
+            cv = jnp.asarray(q_val[s : s + chunk])
 
-        return tiled_topk(
-            score, (table.idx, table.val), table.count, k,
-            tile=self.tile, valid=table.valid[: table.count],
-        )
+            def score(tile_idx, tile_val, ci=ci, cv=cv):
+                return D.sparse_scores_batch(metric, ci, cv, tile_idx, tile_val)
+
+            outs.append(tiled_topk(
+                score, (table.idx, table.val), table.count, k,
+                tile=self.tile, valid=table.valid[: table.count],
+            ))
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
 
     def search(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k.  Returns (distances, row_ids) with user-facing

@@ -5,6 +5,8 @@ Ports the ground-truth methodology of the reference recall tests
 oracle itself is validated against a float64 numpy computation.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -171,3 +173,54 @@ def test_grouped_exact_small_and_k_edge():
     assert (i[:, 0] == np.arange(3)).all()
     fin = d[0][np.isfinite(d[0])]
     assert np.all(np.diff(fin) >= 0)
+
+
+def test_sparse_densified_matches_merge_join():
+    """The densified sparse engine (MXU matmul over a host-scattered dense
+    copy) must agree with the merge-join kernel — same rows, same distances
+    to f32 rounding — and the merge-join path must chunk queries (the
+    un-chunked [Q, tile, nnz] form lane-pads 4x and OOMs compiles at
+    4000 queries, BENCH_NOTES round-3 session 3)."""
+    rng = np.random.default_rng(17)
+    n, dim, nnz, nq, k = 5000, 256, 12, 23, 8
+    # distinct sorted indices per row (duplicates are invalid sparsevec
+    # input and the engines may legitimately disagree on them)
+    raw = np.sort(
+        np.argpartition(rng.random((n + nq, dim)), nnz, axis=1)[:, :nnz], axis=1
+    ).astype(np.int32)
+    vals = rng.normal(size=(n + nq, nnz)).astype(np.float32)
+    vals[vals == 0] = 1.0
+    table = SparseTable(dim, nnz_cap=nnz, capacity=n)
+    table.insert([SparseVec(dim, raw[i], vals[i], _checked=True) for i in range(n)])
+    queries = [SparseVec(dim, raw[n + i], vals[n + i], _checked=True) for i in range(nq)]
+    for metric in (Metric.L2, Metric.IP, Metric.COSINE):
+        f_dense = FlatIndex(table, metric)
+        d_d, i_d = f_dense.search(queries, k)
+        assert f_dense.last_path == "grouped-densified"
+        old_b = os.environ.get("PGVECTOR_TPU_SPARSE_DENSIFY_GB")
+        old_c = os.environ.get("PGVECTOR_TPU_SPARSE_CHUNK")
+        try:
+            os.environ["PGVECTOR_TPU_SPARSE_DENSIFY_GB"] = "0"
+            os.environ["PGVECTOR_TPU_SPARSE_CHUNK"] = "7"  # force chunk seams
+            f_mj = FlatIndex(table, metric)
+            d_m, i_m = f_mj.search(queries, k)
+            assert f_mj.last_path == "xla-sparse"
+        finally:
+            for key, old in (("PGVECTOR_TPU_SPARSE_DENSIFY_GB", old_b),
+                             ("PGVECTOR_TPU_SPARSE_CHUNK", old_c)):
+                if old is None:
+                    os.environ.pop(key, None)
+                else:
+                    os.environ[key] = old
+        assert np.allclose(d_d, d_m, rtol=1e-4, atol=1e-4), metric
+        for a, b, dd in zip(i_d, i_m, d_d):
+            uniq = len(np.unique(np.round(dd[np.isfinite(dd)], 5)))
+            if uniq == np.isfinite(dd).sum():
+                assert set(a[a >= 0]) == set(b[b >= 0]), metric
+    # cache invalidation: a mutation must drop the stale dense copy
+    f = FlatIndex(table, Metric.L2)
+    f.search(queries[:2], k)
+    extra = SparseVec(dim, np.asarray(raw[n], np.int32), vals[n] + 5.0, _checked=True)
+    row = table.insert([extra])[0]
+    d2, i2 = f.search([extra], 1)
+    assert i2[0, 0] == row and d2[0, 0] < 1e-3
