@@ -324,13 +324,17 @@ def main():
         sn = int(os.environ.get("BENCH_SPARSE_N", 200_000))
         sdim, snnz = 4096, 32
         rng = np.random.default_rng(11)
-        s_idx = np.sort(
-            rng.integers(0, sdim, size=(sn + nq, snnz), dtype=np.int64) // 1,
-            axis=1)
-        # de-duplicate indices per row by nudging collisions upward
-        for c in range(1, snnz):
-            s_idx[:, c] = np.maximum(s_idx[:, c], s_idx[:, c - 1] + 1)
-        s_idx = np.minimum(s_idx, sdim - 1).astype(np.int32)
+        # distinct sorted indices per row (argpartition of a random key
+        # row samples nnz of dim without replacement; the old clip-based
+        # nudge could produce duplicate indices at the top of the range,
+        # which is invalid sparsevec input)
+        s_idx = np.empty((sn + nq, snnz), np.int32)
+        chunk = 50_000
+        for s in range(0, sn + nq, chunk):
+            e = min(s + chunk, sn + nq)
+            keys = rng.random((e - s, sdim))
+            s_idx[s:e] = np.sort(
+                np.argpartition(keys, snnz, axis=1)[:, :snnz], axis=1)
         s_val = rng.normal(size=(sn + nq, snnz)).astype(np.float32)
         s_val[s_val == 0] = 1.0
         stab = SparseTable(sdim, nnz_cap=snnz, capacity=sn)
