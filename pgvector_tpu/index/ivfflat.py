@@ -326,25 +326,15 @@ class IVFFlatIndex:
         scattered 512-byte reads per 1000-query batch (measured 352 qps);
         block reads stream the same bytes at near-HBM bandwidth.  Values
         are stored *formed* (normalized for cosine opclasses,
-        sql/vector.sql:437-441) in the table's dtype."""
-        flat = self.postings_flat  # (NB·cs,) compact slots
-        cs = self._post_cs
-        safe = jnp.maximum(flat, 0)
-        pv = self.table.data[safe]  # (NB·cs, W)
-        pv = jnp.where((flat >= 0)[:, None], pv, 0)
-        if not self._is_bit and self._normalized:
-            pvf = pv.astype(jnp.float32)
-            nrm = jnp.sqrt(jnp.sum(pvf * pvf, axis=-1, keepdims=True))
-            pv = (pvf / jnp.maximum(nrm, 1e-30)).astype(pv.dtype)
-        w = pv.shape[-1]
-        self.post_values = pv.reshape(-1, cs, w)  # (NB, cs, W)
-        # |v|² per posting slot (f32, from the stored values) — feeds the
-        # inverted scan's L2 form without re-reducing the slab per call
-        if not self._is_bit:
-            pvf = pv.astype(jnp.float32)
-            self.post_vsq = jnp.sum(pvf * pvf, axis=-1).reshape(-1, cs)
-        else:
-            self.post_vsq = None
+        sql/vector.sql:437-441) in the table's dtype.
+
+        The whole refresh runs as ONE jitted program: executed eagerly,
+        the gather/mask/square/reduce chain materializes each op's full
+        (NB·cs, W) output (~17 GB of transients at 10M×128-d f32 — a
+        measured HBM OOM); fused, the peak is table + the posting copy."""
+        self.post_values, self.post_vsq = _post_values_fused(
+            self.table.data, self.postings_flat, self._post_cs,
+            bool(self._normalized), bool(self._is_bit))
 
     # ----------------------------------------------------------------- insert
     def insert(self, rows) -> None:
@@ -630,6 +620,25 @@ class IVFFlatIndex:
             self.postings_flat.reshape(-1, cs), qrep, selb, valid, fmask, k,
             n_chunks,
         )
+
+
+@functools.partial(jax.jit, static_argnames=("cs", "normalized", "is_bit"))
+def _post_values_fused(data, flat, cs: int, normalized: bool, is_bit: bool):
+    """Posting-ordered value copy + per-slot |v|², fused (see
+    _refresh_post_values docstring for the memory math)."""
+    safe = jnp.maximum(flat, 0)
+    pv = data[safe]  # (NB·cs, W)
+    pv = jnp.where((flat >= 0)[:, None], pv, 0)
+    if not is_bit and normalized:
+        pvf = pv.astype(jnp.float32)
+        nrm = jnp.sqrt(jnp.sum(pvf * pvf, axis=-1, keepdims=True))
+        pv = (pvf / jnp.maximum(nrm, 1e-30)).astype(pv.dtype)
+    w = pv.shape[-1]
+    out = pv.reshape(-1, cs, w)
+    if is_bit:
+        return out, None
+    pvf = pv.astype(jnp.float32)
+    return out, jnp.sum(pvf * pvf, axis=-1).reshape(-1, cs)
 
 
 def _build_work_items(sel_np, blk_start, blk_occ, Qc: int, Wb: int):
