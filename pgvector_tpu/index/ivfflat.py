@@ -556,8 +556,19 @@ class IVFFlatIndex:
         sel_np = np.asarray(
             jax.lax.dynamic_slice(order, (0, off), (nq, batch)))
         cs = self._post_cs
-        Qc = self.WORK_QC
-        Wb = max(1, self.WORK_SLOTS // cs)
+        # adaptive item shape (pow2 → bounded jit variants): when the mean
+        # probing-query count per list crosses Qc, every list pays a second
+        # half-empty query chunk, and when lists span many blocks a small
+        # window multiplies items; both measured at 10M/4000 lists/probes=63
+        # (394 qps vs 3,776 at probes=40 — R tripled on padding alone)
+        probed = sel_np.reshape(-1)
+        probed = probed[self._blk_occ[probed] > 0]
+        mean_q = len(probed) / max(len(np.unique(probed)), 1)
+        Qc = int(min(max(_next_pow2(int(mean_q * 1.25) + 1),
+                         self.WORK_QC), 512))
+        occ_mean = float(self._blk_occ[probed].mean()) if len(probed) else 1.0
+        Wb = int(min(max(_next_pow2(int(np.ceil(occ_mean / 2))),
+                         max(1, self.WORK_SLOTS // cs)), 8))
         work = _build_work_items(sel_np, self._blk_start, self._blk_occ,
                                  Qc, Wb)
         if work is None:  # every probed list is empty
