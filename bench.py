@@ -122,12 +122,18 @@ def main():
     table.insert(db)
     log("bench: data loaded")
 
-    # ground truth (exact, on device)
+    # ground truth (exact, on device).  First pass includes the remote
+    # kernel compile (40s–10min of congestion noise on this image); the
+    # second pass is the steady capability.
     flat = FlatIndex(table, Metric.L2, tile=16384)
     t0 = time.time()
     _, gt = flat.search(qs, k)
     gt_s = time.time() - t0
-    log(f"bench: exact ground truth {gt_s:.1f}s")
+    t0 = time.time()
+    flat.search(qs, k)
+    gt_steady_s = time.time() - t0
+    log(f"bench: exact ground truth {gt_s:.1f}s cold / "
+        f"{gt_steady_s:.1f}s steady ({flat.last_path})")
 
     # build — build() blocks until the graph is materialized, so build_s
     # is honest wall-clock including remote compiles.  Steady state is
@@ -415,6 +421,8 @@ def main():
         "build_s": round(build_s, 1),
         "build_steady_s": round(build_steady_s, 1),
         "exact_gt_s": round(gt_s, 1),
+        "exact_gt_steady_s": round(gt_steady_s, 1),
+        "exact_path": flat.last_path,
         "n": n,
         "beam_expand": expand,
         "query_beam_expand": qexpand,
