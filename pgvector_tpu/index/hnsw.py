@@ -477,27 +477,55 @@ class HNSWIndex:
         c = ((c + 127) // 128) * 128  # TPU lane padding (K._pad_lanes)
         if self.kind == "dense":
             rep = 4 * self.table.dim
+            pair = 4 * c * c           # pairwise select block (one matmul)
         elif self.kind == "bit":
             rep = 4 * self.table.words
+            pair = 4 * c * c           # popcount block fuses (measured at 1M)
         else:
             rep = 8 * self.table.nnz_cap
+            # the merge-join pairwise materializes (c, c, nnz_lanes) idx+val
+            # gather temps per row — searchsorted gathers defeat XLA fusion
+            # (measured 36.5 GB compile-OOM at 2048 rows, nnz 32)
+            pair = c * c * self._nnz_lanes() * 8
         per_q = (
             4 * h                      # visited table
-            + 4 * c * c                # pairwise select block
+            + pair                     # pairwise select block
             + (ef + c) * (rep + 9)     # pool vectors + dists + ids + flags
             + (self._l_unroll + 1) * ef * 8  # stacked per-level out pools
         )
         return b * per_q
+
+    def _nnz_lanes(self) -> int:
+        return ((self.table.nnz_cap + 127) // 128) * 128
+
+    def _sparse_pair_rows_cap(self) -> int:
+        """Max rows per pairwise sparse select/merge call: the
+        (rows, C, C, nnz_lanes) f32+i32 merge-join gather temps must stay
+        under ~2 GB of HBM transients (see _wave_bytes)."""
+        c = ((self.ef_construction + min(self.m, self.wave_size) + 127)
+             // 128) * 128
+        per_row = c * c * self._nnz_lanes() * 8
+        cap = max(1, (2 << 30) // per_row)
+        p = 8
+        while p * 2 <= cap:
+            p *= 2
+        return p
 
     def _effective_wave_size(self) -> int:
         """Shrink the wave until its working set fits maintenance_work_mem;
         NOTICE once per index when degraded (hnswbuild.c:538-543)."""
         budget = int(config.get("maintenance_work_mem"))
         wave = self.wave_size
+        if self.kind == "sparse":
+            # structural HBM bound, not a budget choice (so no work_mem
+            # NOTICE): connect_level's full-wave pairwise select is
+            # merge-join gathers for sparse
+            wave = min(wave, self._sparse_pair_rows_cap())
+        start = wave
         while wave > 8 and self._wave_bytes(wave) > budget:
             wave //= 2
         self._wave_eff = wave
-        if wave < self.wave_size and not self._mem_notice_fired:
+        if wave < start and not self._mem_notice_fired:
             self._mem_notice_fired = True
             self.notice_hook(
                 "hnsw build wave no longer fits into maintenance_work_mem\n"
@@ -668,8 +696,12 @@ class HNSWIndex:
                     pi = out_i[lc][sel_idx]
                 # 2048-row merge chunks amortize the sequential select
                 # fori_loop (the per-chunk fixed cost measured ~11ms at
-                # 1024 rows on v5e; bigger chunks halve invocations)
+                # 1024 rows on v5e; bigger chunks halve invocations).
+                # Sparse merge rows pay the same pairwise gather temps as
+                # the wave select — same structural cap.
                 chunk = min(2048, _round_pow2(b_lvl * lm))
+                if self.kind == "sparse":
+                    chunk = min(chunk, self._sparse_pair_rows_cap())
                 (self.nbr0, self.nbr_up, self.kept0, self.kept_up) = \
                     K.connect_level(
                         self.kind, self.metric, self.values,
