@@ -1,0 +1,54 @@
+# 10M x 128-d single-chip HNSW lane (VERDICT r2 weak #4b, HNSW half).
+# bf16 (halfvec-style) table: f32 would need ~12.5 GB (table + index value
+# copy + graph) of 15.75 GB HBM — too tight for a 1.5 h build; the
+# reference's own guidance at 10M rows is fp16 indexing (README.md:558-569).
+# The 16-bit table rule stores bf16 index values -> ~7.5 GB total.
+import time, json, sys
+sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import jax.numpy as jnp
+import numpy as np
+from pgvector_tpu.store.table import DenseTable
+from pgvector_tpu.index.flat import FlatIndex
+from pgvector_tpu.index.hnsw import HNSWIndex
+from pgvector_tpu.ops.metric import Metric
+from bench import make_data
+
+nq, k, batch = 4000, 10, 4000
+n = 10_000_000
+db, qs = make_data(n, nq)
+table = DenseTable(128, dtype=jnp.bfloat16, capacity=n)
+for s in range(0, n, 2_500_000):
+    table.insert(db[s:s+2_500_000])
+del db
+print("loaded", table.count, flush=True)
+out = {"n": n, "dim": 128, "dtype": "bfloat16"}
+flat = FlatIndex(table, Metric.L2)
+t0 = time.time()
+_, gt = flat.search(qs, k)
+gt = np.asarray(gt)
+out["exact_gt_s"] = round(time.time() - t0, 1)
+out["exact_path"] = flat.last_path
+print("gt", out["exact_gt_s"], out["exact_path"], flush=True)
+t0 = time.time()
+idx = HNSWIndex(table, Metric.L2, m=16, ef_construction=64,
+                wave_size=1024, dedup=False, beam_expand=4)
+out["build_s"] = round(time.time() - t0, 1)
+print("build", out["build_s"], flush=True)
+idx.beam_expand = 8
+out["sweep"] = []
+for ef in (40, 100):
+    idx.search(qs[:batch], k, ef_search=ef)
+    t0 = time.time()
+    r = np.concatenate([np.asarray(idx.search(qs[s:s+batch], k, ef_search=ef)[1])
+                        for s in range(0, nq, batch)])[:nq]
+    dt = time.time() - t0
+    hits = sum(len(set(map(int, a)) & set(map(int, e))) for a, e in zip(r, gt))
+    out["sweep"].append({"ef": ef, "recall_at_10": round(hits/(nq*k), 4),
+                         "qps": round(nq/dt, 1)})
+    print(json.dumps(out["sweep"][-1]), flush=True)
+print(json.dumps(out), flush=True)
+with open("/tmp/lane_10m_hnsw.json", "w") as f:
+    json.dump(out, f)
+print("DONE", flush=True)
