@@ -120,3 +120,36 @@ def test_vacuum_repairs_upper_levels(rng):
     tgt_row = int(idx.elem_rows[target][0])
     _, r = idx.search(db[tgt_row][None, :], 1, ef_search=40)
     assert int(r[0, 0]) == tgt_row
+
+
+def test_sparse_wave_clamp_is_structural_no_notice(rng):
+    """Sparse builds clamp waves/merge chunks to the pairwise-gather HBM
+    bound (merge-join defeats XLA fusion — a 1024-row sparse wave
+    compile-OOM'd at 36.5 GB on v5e).  The clamp is structural, NOT the
+    maintenance_work_mem cliff, so the reference's memory NOTICE
+    (hnswbuild.c:538-543) must not fire for it."""
+    from pgvector_tpu.store.table import SparseTable
+    from pgvector_tpu.types.sparsevec import SparseVec
+
+    n, dim, nnz = 600, 200, 8
+    idx = np.sort(
+        np.argpartition(rng.random((n, dim)), nnz, axis=1)[:, :nnz], axis=1
+    ).astype(np.int32)
+    val = rng.normal(size=(n, nnz)).astype(np.float32)
+    val[val == 0] = 1.0
+    table = SparseTable(dim, nnz_cap=nnz, capacity=n)
+    table.insert([SparseVec(dim, idx[i], val[i], _checked=True)
+                  for i in range(n)])
+    msgs = []
+    h = HNSWIndex(table, Metric.IP, m=8, ef_construction=32,
+                  wave_size=1024, dedup=False, notice_hook=msgs.append)
+    cap = h._sparse_pair_rows_cap()
+    assert h._wave_eff <= cap < 1024
+    # pow2 and bounded by the 2 GB transient model
+    c = ((32 + 8 + 127) // 128) * 128
+    lanes = ((nnz + 127) // 128) * 128
+    assert cap * c * c * lanes * 8 <= (2 << 30)
+    assert not any("maintenance_work_mem" in m for m in msgs)
+    # graph is still functional
+    _, r = h.search([SparseVec(dim, idx[0], val[0], _checked=True)], 3)
+    assert r[0, 0] >= 0
