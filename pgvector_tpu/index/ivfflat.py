@@ -556,19 +556,9 @@ class IVFFlatIndex:
         sel_np = np.asarray(
             jax.lax.dynamic_slice(order, (0, off), (nq, batch)))
         cs = self._post_cs
-        # adaptive item shape (pow2 → bounded jit variants): when the mean
-        # probing-query count per list crosses Qc, every list pays a second
-        # half-empty query chunk, and when lists span many blocks a small
-        # window multiplies items; both measured at 10M/4000 lists/probes=63
-        # (394 qps vs 3,776 at probes=40 — R tripled on padding alone)
-        probed = sel_np.reshape(-1)
-        probed = probed[self._blk_occ[probed] > 0]
-        mean_q = len(probed) / max(len(np.unique(probed)), 1)
-        Qc = int(min(max(_next_pow2(int(mean_q * 1.25) + 1),
-                         self.WORK_QC), 512))
-        occ_mean = float(self._blk_occ[probed].mean()) if len(probed) else 1.0
-        Wb = int(min(max(_next_pow2(int(np.ceil(occ_mean / 2))),
-                         max(1, self.WORK_SLOTS // cs)), 8))
+        Qc, Wb = _adaptive_item_shape(
+            sel_np.reshape(-1), self._blk_occ, cs,
+            self.WORK_QC, self.WORK_SLOTS)
         work = _build_work_items(sel_np, self._blk_start, self._blk_occ,
                                  Qc, Wb)
         if work is None:  # every probed list is empty
@@ -650,6 +640,27 @@ def _post_values_fused(data, flat, cs: int, normalized: bool, is_bit: bool):
         return out, None
     pvf = pv.astype(jnp.float32)
     return out, jnp.sum(pvf * pvf, axis=-1).reshape(-1, cs)
+
+
+def _adaptive_item_shape(sel_flat, blk_occ, cs: int,
+                         qc_floor: int, slots_floor: int):
+    """Pick (Qc, Wb) for the work-item decomposition from the probed-edge
+    statistics (pow2-quantized → bounded jit variants).
+
+    When the mean probing-query count per list crosses Qc, every list
+    pays a second half-empty query chunk; when lists span many posting
+    blocks, a small window multiplies items per list.  Both measured at
+    10M/4000 lists/probes=63: the fixed (64, 2) shape tripled the item
+    count on padding alone (394 qps vs 3,776 at probes=40)."""
+    wb_floor = max(1, slots_floor // cs)
+    probed = sel_flat[blk_occ[sel_flat] > 0]
+    if len(probed) == 0:
+        return qc_floor, wb_floor
+    mean_q = len(probed) / max(len(np.unique(probed)), 1)
+    qc = int(min(max(_next_pow2(int(mean_q * 1.25) + 1), qc_floor), 512))
+    occ_mean = float(blk_occ[probed].mean())
+    wb = int(min(max(_next_pow2(int(np.ceil(occ_mean / 2))), wb_floor), 8))
+    return qc, wb
 
 
 def _build_work_items(sel_np, blk_start, blk_occ, Qc: int, Wb: int):

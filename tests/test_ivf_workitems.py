@@ -97,3 +97,35 @@ def test_all_empty_lists_returns_none():
     bs, occ = _geometry(lens, 8)
     sel = np.zeros((3, 2), np.int64)
     assert _build_work_items(sel, bs, occ, 4, 2) is None
+
+
+def test_adaptive_item_shape_10m_regression():
+    """The fixed (Qc=64, Wb=2) shape tripled the work-item count at
+    10M/4000 lists/probes=63 (measured 394 vs 3,776 qps at probes=40);
+    the adaptive shape must (a) leave the tuned 1M/probes=10 config
+    unchanged and (b) cut the item count on the 10M-shaped distribution."""
+    from pgvector_tpu.index.ivfflat import (_adaptive_item_shape,
+                                            _build_work_items)
+    rng = np.random.default_rng(9)
+
+    # 1M-shaped: 1000 lists x ~2 blocks, probes=10, 4000 queries
+    occ_1m = np.full(1000, 2, np.int64)
+    sel_1m = rng.integers(0, 1000, size=(4000, 10))
+    qc, wb = _adaptive_item_shape(sel_1m.reshape(-1), occ_1m, 512, 64, 1024)
+    assert (qc, wb) == (64, 2)
+
+    # 10M-shaped: 4000 lists x ~5 blocks, probes=63, 4000 queries
+    occ_10m = np.clip(rng.poisson(5, 4000), 1, None).astype(np.int64)
+    bs = np.zeros(4001, np.int64)
+    bs[1:] = np.cumsum(occ_10m)
+    sel_10m = rng.integers(0, 4000, size=(4000, 63))
+    qc2, wb2 = _adaptive_item_shape(sel_10m.reshape(-1), occ_10m, 512, 64, 1024)
+    assert qc2 >= 128 and wb2 >= 4
+
+    def n_items(qc_, wb_):
+        eq, blkbase, wlen, qmap = _build_work_items(
+            sel_10m, bs[:-1], occ_10m, qc_, wb_)
+        return int((blkbase >= 0).sum())
+
+    fixed, adaptive = n_items(64, 2), n_items(qc2, wb2)
+    assert adaptive * 2 <= fixed, (fixed, adaptive)
