@@ -201,15 +201,19 @@ class FlatIndex:
 
     # -- sparse ------------------------------------------------------------
     def _sparse_densified(self) -> jnp.ndarray:
-        """Dense f32 [count, dim] copy of the sparse table, cached.
+        """Dense f32 [count, dim] copy of the sparse table, cached ON THE
+        TABLE (product paths build a fresh FlatIndex per query, so an
+        index-held cache would re-densify every call).
 
         Tables are functionally updated (every insert/vacuum replaces the
-        idx/val/valid arrays), so array object identity is a sound cache
-        key.  Host-side vectorized scatter — TPU scatters are slow and the
-        copy is one-time per table state."""
+        idx/val arrays), so array object identity keys table content; the
+        validity mask is NOT in the key — deletes don't change the dense
+        values, and `valid` is passed fresh to the engine.  Host-side
+        vectorized scatter — TPU scatters are slow and the copy is
+        one-time per table state."""
         table: SparseTable = self.table
-        key = (id(table.idx), id(table.val), id(table.valid), table.count)
-        cached = getattr(self, "_dense_cache", None)
+        key = (id(table.idx), id(table.val), table.count)
+        cached = getattr(table, "_dense_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
         idx = np.asarray(table.idx[: table.count])
@@ -221,7 +225,7 @@ class FlatIndex:
         )
         dense[rows[live], idx[live]] = val[live]
         data = jnp.asarray(dense)
-        self._dense_cache = (key, data)
+        table._dense_cache = (key, data)
         return data
 
     def _search_sparse(self, q, k: int):
@@ -266,7 +270,7 @@ class FlatIndex:
         # Bound the [chunk, tile, nnz] merge-join temps: lane padding
         # expands nnz to 128, so a full 4000-query batch is a compile-time
         # OOM; ≤256-query chunks keep temps ~2 GB at tile 8192.
-        chunk = int(os.environ.get("PGVECTOR_TPU_SPARSE_CHUNK", "256"))
+        chunk = max(1, int(os.environ.get("PGVECTOR_TPU_SPARSE_CHUNK", "256")))
         outs = []
         for s in range(0, len(q), chunk):
             ci = jnp.asarray(q_idx[s : s + chunk])

@@ -506,7 +506,7 @@ class HNSWIndex:
              // 128) * 128
         per_row = c * c * self._nnz_lanes() * 8
         cap = max(1, (2 << 30) // per_row)
-        p = 8
+        p = 1
         while p * 2 <= cap:
             p *= 2
         return p
@@ -529,7 +529,7 @@ class HNSWIndex:
             self._mem_notice_fired = True
             self.notice_hook(
                 "hnsw build wave no longer fits into maintenance_work_mem\n"
-                f"DETAIL:  Reduced insert wave size from {self.wave_size} to "
+                f"DETAIL:  Reduced insert wave size from {start} to "
                 f"{wave}. Building will take significantly more time.\n"
                 "HINT:  Increase maintenance_work_mem to speed up builds."
             )
@@ -681,9 +681,14 @@ class HNSWIndex:
                     # upper levels hold ~1/m of the wave — compact to a
                     # small block instead of paying a full-wave connect
                     # (a 1024-row select costs the same whether 64 or
-                    # 1024 rows are real)
+                    # 1024 rows are real).  The 64-row floor must not
+                    # exceed the sparse pairwise clamp: connect_level's
+                    # select runs over ALL b_lvl rows in one call.
+                    floor = 64
+                    if self.kind == "sparse":
+                        floor = min(floor, self._sparse_pair_rows_cap())
                     idx_e = np.flatnonzero(elig)
-                    b_lvl = _round_pow2(max(len(idx_e), 64))
+                    b_lvl = _round_pow2(max(len(idx_e), floor))
                     pad_e = b_lvl - len(idx_e)
                     sel_idx = jnp.asarray(np.concatenate(
                         [idx_e, np.zeros(pad_e, idx_e.dtype)]))

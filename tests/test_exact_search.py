@@ -224,3 +224,30 @@ def test_sparse_densified_matches_merge_join():
     row = table.insert([extra])[0]
     d2, i2 = f.search([extra], 1)
     assert i2[0, 0] == row and d2[0, 0] < 1e-3
+
+
+def test_sparse_densify_cache_shared_across_indexes():
+    """The dense copy caches on the TABLE: product paths (Relation.knn)
+    build a fresh FlatIndex per query, and deletes must NOT invalidate
+    (the dense values don't depend on the validity mask)."""
+    rng = np.random.default_rng(31)
+    n, dim, nnz = 5000, 128, 8
+    raw = np.sort(
+        np.argpartition(rng.random((n, dim)), nnz, axis=1)[:, :nnz], axis=1
+    ).astype(np.int32)
+    vals = rng.normal(size=(n, nnz)).astype(np.float32)
+    vals[vals == 0] = 1.0
+    table = SparseTable(dim, nnz_cap=nnz, capacity=n)
+    rows = table.insert([SparseVec(dim, raw[i], vals[i], _checked=True)
+                         for i in range(n)])
+    q = [SparseVec(dim, raw[0], vals[0], _checked=True)]
+    f1 = FlatIndex(table, Metric.L2)
+    f1.search(q, 5)
+    cached = table._dense_cache[1]
+    f2 = FlatIndex(table, Metric.L2)
+    f2.search(q, 5)
+    assert table._dense_cache[1] is cached  # cross-instance hit
+    table.delete(rows[:3])
+    d, i = f2.search(q, 5)
+    assert table._dense_cache[1] is cached  # delete does not re-densify
+    assert not np.isin(i, rows[:3]).any()   # but deleted rows never surface
