@@ -98,6 +98,36 @@ def main():
                       os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    # preflight BEFORE importing pgvector_tpu: on this image the axon TPU
+    # backend rides a local relay (ports 8082-8117); if the relay daemon
+    # has died, the first device op hangs forever with no error (observed
+    # round 3) — and importing the package already runs device ops
+    # (module-level jnp constants).  Fail fast with a diagnostic JSON line.
+    _platforms = str(getattr(jax.config, "jax_platforms", None) or "")
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and "axon" in _platforms:
+        import socket
+
+        def _port_open(p):
+            s = socket.socket()
+            s.settimeout(0.25)
+            try:
+                s.connect(("127.0.0.1", p))
+                return True
+            except OSError:
+                return False
+            finally:
+                s.close()
+
+        if not any(_port_open(p) for p in (8082, 8092, 8102, 8112)):
+            print(json.dumps({
+                "metric": "hnsw_qps_at_recall095_sift1m_surrogate",
+                "value": 0, "unit": "qps", "vs_baseline": 0,
+                "error": "axon TPU tunnel relay is down (no listener on "
+                         "8082/8092/8102/8112) — device ops would hang; "
+                         "restart the terminal/relay and re-run",
+            }))
+            return
+
     from pgvector_tpu.index.flat import FlatIndex
     from pgvector_tpu.index.hnsw import HNSWIndex
     from pgvector_tpu.index.ivfflat import IVFFlatIndex
