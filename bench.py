@@ -464,7 +464,6 @@ def main():
         "bit_bq": bit_lane,
         "sparse": sparse_lane,
         "metric_lanes": metric_lanes,
-        "exact_path": flat.last_path,
         "backend": jax.default_backend(),
     }
     print(json.dumps(out))

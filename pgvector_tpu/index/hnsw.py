@@ -920,10 +920,14 @@ class HNSWIndex:
         import os
 
         mode = os.environ.get("PGVECTOR_TPU_PACKED_SCAN", "auto")
-        if mode in ("off", "f32", "bf16"):
-            return None if mode == "off" else \
-                (jnp.float32 if mode == "f32" else jnp.bfloat16)
-        if self.kind != "dense" or jax.default_backend() != "tpu":
+        if mode == "off" or self.kind != "dense":
+            # only dense rows can be value-packed: bit tables store packed
+            # uint32 words and sparse tables (idx, val) pairs — forcing the
+            # mode on those would feed the wrong layout to the dense scorer
+            return None
+        if mode in ("f32", "bf16"):
+            return jnp.float32 if mode == "f32" else jnp.bfloat16
+        if jax.default_backend() != "tpu":
             return None
         f32_bytes = self.cap_e * 2 * self.m * self.table.dim * 4
         if f32_bytes <= 2 << 30:

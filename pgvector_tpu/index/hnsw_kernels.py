@@ -1347,11 +1347,13 @@ def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                       row_valid, fmask, qs, entry, entry_level, ef: int,
                       m: int, l_unroll: int, k: int, heaptids: int,
                       expand: int = 1, vmode: str = "hash2",
-                      packed_vals=None, rerank: bool = False):
+                      packed_vals=None, rerank: bool = False,
+                      max_steps: int = 0, pallas_tail: bool = False):
     """CPU variant of Algorithm 5 with host-driven loops.  The packed-
     adjacency path is a device-gather optimization; the host driver always
-    scores via row gathers (packed_vals/rerank accepted for signature
-    parity, ignored)."""
+    scores via row gathers (packed_vals/rerank/pallas_tail accepted for
+    signature parity, ignored); ``max_steps`` caps layer-0 hops like the
+    device path."""
     nq = qs.shape[0] if not isinstance(qs, tuple) else qs[0].shape[0]
     entry_arr = jnp.full((nq,), entry, jnp.int32)
     cur_d = score_block(kind, metric, values, qs, entry_arr[:, None])[:, 0]
@@ -1363,8 +1365,8 @@ def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
     visited = visited_init(nq, ef, vmode)
     pool_d, pool_i, _, steps = search_layer_host(
         kind, metric, values, nbr0, nbr_up, up_slot, 0, qs,
-        cur_d[:, None], cur[:, None], visited, ef=ef, max_steps=8 * ef + 64,
-        vmode=vmode,
+        cur_d[:, None], cur[:, None], visited, ef=ef,
+        max_steps=max_steps or (8 * ef + 64), vmode=vmode,
     )
     d, r = _expand_topk_jit(pool_d, pool_i, elem_rows, row_valid, fmask, k,
                             heaptids)

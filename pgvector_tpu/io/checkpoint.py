@@ -53,14 +53,22 @@ def _read_manifest(path: str) -> Dict[str, Any]:
 def _save_arrays(path: str, arrays: Dict[str, Any]) -> None:
     for name, arr in arrays.items():
         a = np.asarray(arr)
+        plain = os.path.join(path, name + ".npy")
+        tagged = os.path.join(path, name + ".bf16.npy")
         if a.dtype == np.dtype(jnp.bfloat16):
             # np.save writes ml_dtypes bfloat16 as raw void ("|V2"), which
             # np.load cannot reinterpret — store the bit pattern as uint16
             # under a tagged name instead
-            np.save(os.path.join(path, name + ".bf16.npy"),
-                    np.ascontiguousarray(a).view(np.uint16))
+            np.save(tagged, np.ascontiguousarray(a).view(np.uint16))
+            stale = plain
         else:
-            np.save(os.path.join(path, name + ".npy"), a)
+            np.save(plain, a)
+            stale = tagged
+        # a re-save into an existing dir must not leave the other dtype's
+        # variant behind: _load prefers the tagged file, so a stale one
+        # would silently shadow the fresh data
+        if os.path.exists(stale):
+            os.remove(stale)
 
 
 def _load(path: str, name: str) -> np.ndarray:

@@ -30,18 +30,12 @@ import json
 import os
 from typing import List, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..errors import DataException
 from ..store.table import BitTable, DenseTable, SparseTable
-
-
-def _load_arr(d: str, name: str) -> np.ndarray:
-    tagged = os.path.join(d, name + ".bf16.npy")
-    if os.path.exists(tagged):
-        return np.load(tagged).view(np.dtype(jnp.bfloat16))
-    return np.load(os.path.join(d, name + ".npy"))
+# one bfloat16-as-tagged-uint16 file convention, owned by io.checkpoint
+from .checkpoint import _load as _load_arr, _save_arrays
 
 _MAGIC = "pgvector-tpu-delta"
 _VERSION = 1
@@ -62,15 +56,7 @@ class ReplicationLog:
     def _record(self, payload: dict, arrays: dict) -> None:
         d = os.path.join(self.path, f"delta_{self.seq:08d}")
         os.makedirs(d, exist_ok=True)
-        for name, arr in arrays.items():
-            a = np.asarray(arr)
-            if a.dtype == np.dtype(jnp.bfloat16):
-                # same tagged-uint16 encoding as io.checkpoint: np.save
-                # writes bfloat16 as opaque "|V2" otherwise
-                np.save(os.path.join(d, name + ".bf16.npy"),
-                        np.ascontiguousarray(a).view(np.uint16))
-            else:
-                np.save(os.path.join(d, name + ".npy"), a)
+        _save_arrays(d, arrays)
         payload.update({"magic": _MAGIC, "version": _VERSION, "seq": self.seq})
         with open(os.path.join(d, "record.json"), "w") as f:
             json.dump(payload, f)

@@ -12,10 +12,15 @@ partial top-k → concat over ICI → final top-k; SURVEY.md §2.4.6).
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+
+#: transient-HBM budget for the grouped engine's refine gather — the
+#: (Q, chunk, row) f32 block score_rows materializes per step
+REFINE_BYTES = 2**30
 
 
 def topk_smallest(
@@ -109,9 +114,27 @@ def grouped_exact_topk(
     cand = (gsel[:, :, None] * group
             + jnp.arange(group, dtype=gsel.dtype)).reshape(q_count, kk * group)
     ok = row_valid[jnp.minimum(cand, n_pad - 1)] & (cand < n)
-    s = score_rows(jnp.where(ok, cand, 0)).astype(jnp.float32)
-    s = jnp.where(ok, s, jnp.inf)
-    d, i = topk_smallest(s, min(k, s.shape[1]), ids=cand)
+    # bound the refine gather: score_rows materializes (Q, C, row) f32, and
+    # C = k·group grows with both k and the group width — at k=100/group=128
+    # an unchunked gather is tens of GB.  Chunk the candidate axis with a
+    # running merge (exact: the top-k of a union is inside the union of
+    # per-chunk top-ks).
+    row_f32 = 4 * sum(max(1, math.prod(c.shape[2:])) for c in cols)
+    cc = max(group,
+             (REFINE_BYTES // max(1, q_count * row_f32)) // group * group)
+    if cc >= cand.shape[1]:
+        s = score_rows(jnp.where(ok, cand, 0)).astype(jnp.float32)
+        s = jnp.where(ok, s, jnp.inf)
+        d, i = topk_smallest(s, min(k, s.shape[1]), ids=cand)
+    else:
+        d = jnp.full((q_count, k), jnp.inf, jnp.float32)
+        i = jnp.full((q_count, k), -1, cand.dtype)
+        for s0 in range(0, cand.shape[1], cc):
+            c_blk = cand[:, s0:s0 + cc]
+            o_blk = ok[:, s0:s0 + cc]
+            s = score_rows(jnp.where(o_blk, c_blk, 0)).astype(jnp.float32)
+            s = jnp.where(o_blk, s, jnp.inf)
+            d, i = merge_topk(d, i, s, c_blk, k)
     if d.shape[1] < k:
         q = d.shape[0]
         d = jnp.concatenate(

@@ -153,7 +153,7 @@ class ExpressionIndex:
         qs = np.asarray(_coerce_dense_queries(q, self.table.dim))
         qv = np.asarray(self.qexpr(qs))
         fetch = max(k * self.rerank_factor, k) if self.rerank else k
-        _, cand = self.index.search(qv, fetch,
+        d, cand = self.index.search(qv, fetch,
                                     ef_search=ef_search or max(fetch, 40))
         # shadow rows → source rows (also drops shadows of deleted sources)
         safe = np.maximum(cand, 0)
@@ -161,8 +161,10 @@ class ExpressionIndex:
         src_valid = np.asarray(self.table.valid)
         src = np.where((src >= 0) & src_valid[np.maximum(src, 0)], src, -1)
         if not self.rerank:
-            d, _ = self.index.search(qv, k, ef_search=ef_search or max(k, 40))
-            return d, src[:, :k]
+            # shadow distances pair with the mapped ids; a candidate whose
+            # source row is gone keeps id -1 and must not surface a finite
+            # distance
+            return np.where(src[:, :k] >= 0, d[:, :k], np.inf), src[:, :k]
         return exact_rerank(self.table, self.metric, qs, src, k)
 
 

@@ -117,7 +117,10 @@ class BatchingExecutor:
                 self._wake.clear()
                 return [], None
             if isinstance(self._queue[0], _Write):
-                return [], self._queue.popleft()
+                w = self._queue.popleft()
+                if not self._queue:
+                    self._wake.clear()
+                return [], w
             batch: List[_Pending] = []
             while (self._queue and len(batch) < self.max_batch
                    and isinstance(self._queue[0], _Pending)):

@@ -127,3 +127,27 @@ def test_bf16_table_and_index_roundtrip(tmp_path, rng):
     d2, r2 = idx2.search(q, 5)
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+
+
+def test_resave_dtype_switch_removes_stale_variant(tmp_path, rng):
+    """Re-saving a different-dtype table into the same directory must not
+    leave the previous dtype's file behind: _load prefers the .bf16.npy
+    tagged variant, so a stale one would silently shadow fresh f32 data."""
+    import jax.numpy as jnp
+
+    p = str(tmp_path / "t")
+    tb = DenseTable(8, dtype=jnp.bfloat16)
+    tb.insert(np.ones((4, 8), np.float32))
+    save_table(tb, p)
+    tf = DenseTable(8)
+    tf.insert(np.full((4, 8), 2.0, np.float32))
+    save_table(tf, p)
+    got = load_table(p)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got.data[:4]), 2.0)
+    # and the reverse direction: f32 -> bf16 re-save drops the plain file
+    save_table(tb, p)
+    got2 = load_table(p)
+    assert got2.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got2.data[:4]).astype(np.float32), 1.0)

@@ -251,3 +251,33 @@ def test_sparse_densify_cache_shared_across_indexes():
     d, i = f2.search(q, 5)
     assert table._dense_cache[1] is cached  # delete does not re-densify
     assert not np.isin(i, rows[:3]).any()   # but deleted rows never surface
+
+
+def test_grouped_refine_chunked_is_exact(monkeypatch):
+    """Large k·group candidate sets are re-scored in bounded chunks with a
+    running top-k merge (the unchunked gather is O(Q·k·group·D) — tens of
+    GB at k=100/group=128).  Chunking must not change the result: the
+    top-k of a union is contained in the union of per-chunk top-ks."""
+    from pgvector_tpu.ops import topk as topk_mod
+
+    # ~4 KB budget forces many chunks at this (Q, D); distinct (n, k) from
+    # other tests so the jitted engine re-traces under the patched budget
+    monkeypatch.setattr(topk_mod, "REFINE_BYTES", 4096)
+    rng = np.random.default_rng(79)
+    db = rng.normal(size=(9100, 24)).astype(np.float32)
+    table = DenseTable(24)
+    rows = table.insert(db)
+    table.delete(rows[::13])
+    f = FlatIndex(table, Metric.L2)
+    d, i = f.search(db[:8], 20)
+    assert f.last_path == "grouped"
+    live = np.ones(len(db), bool)
+    live[::13] = False
+    sq = ((db[:8, None, :].astype(np.float64)
+           - db[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    sq[:, ~live] = np.inf
+    oi = np.argsort(sq, axis=1)[:, :20]
+    for q in range(8):
+        assert set(map(int, i[q])) == set(map(int, oi[q]))
+    assert np.all(np.diff(d, axis=1) >= 0)
+    assert not np.isin(i, rows[::13]).any()

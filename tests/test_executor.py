@@ -130,3 +130,23 @@ def test_writer_serialized_with_reads():
     hits = sum(len(set(map(int, a)) & set(map(int, e)))
                for a, e in zip(r, exact_i))
     assert hits / (5 * len(queries)) >= 0.9
+
+
+def test_lone_write_does_not_busy_spin():
+    """A write that empties the queue must clear the wake event — before the
+    fix, the dispatcher spun at 100% CPU (wait() returned immediately with
+    an empty queue) until the next submit."""
+    import time
+
+    table = DenseTable(4)
+    table.insert(np.zeros((4, 4), np.float32))
+    ex = BatchingExecutor(FlatIndex(table, Metric.L2), max_wait_ms=0.5)
+    try:
+        assert ex.write(lambda idx: 42) == 42
+        time.sleep(0.2)  # let the dispatcher settle
+        assert not ex._wake.is_set()
+        t0 = time.process_time()
+        time.sleep(0.5)
+        assert time.process_time() - t0 < 0.25  # idle, not spinning
+    finally:
+        ex.shutdown()

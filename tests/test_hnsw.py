@@ -349,3 +349,38 @@ def test_insert_growth_still_doubles(rng):
     assert rows[0] == 0 and rows[-1] == 1499 and t.count == 1500
     np.testing.assert_array_equal(np.asarray(t.valid[:1500]), True)
     assert not bool(np.asarray(t.valid[1500:]).any())
+
+
+def test_host_loop_search_accepts_device_kwargs(data, monkeypatch):
+    """The host-loop driver (PGVECTOR_TPU_HOST_LOOPS=1 — the documented
+    fallback when remote device compiles are pathological) must accept the
+    full device-path kwarg surface (max_steps, pallas_tail) — a signature
+    drift here crashes every search under the fallback."""
+    db, q = data
+    table, idx = build(db, Metric.L2, beam_expand=4)
+    d_dev, r_dev = idx.search(q, 10, ef_search=40)
+    monkeypatch.setenv("PGVECTOR_TPU_HOST_LOOPS", "1")
+    d_host, r_host = idx.search(q, 10, ef_search=40)
+    _, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    assert recall_at_k(r_host, e_i) >= 0.9
+    # and the straggler-cap kwarg is honored, not just tolerated
+    monkeypatch.setenv("PGVECTOR_TPU_QUERY_MAX_STEPS", "2")
+    _, r_capped = idx.search(q, 10, ef_search=40)
+    assert r_capped.shape == r_host.shape
+
+
+def test_packed_scan_override_ignored_for_nondense(monkeypatch):
+    """PGVECTOR_TPU_PACKED_SCAN=f32/bf16 only applies to dense indexes: bit
+    tables store packed uint32 words and sparse tables (idx, val) pairs —
+    forcing the packed layout there would feed the wrong shapes to the
+    dense scorer (trace-time crash before the guard)."""
+    monkeypatch.setenv("PGVECTOR_TPU_PACKED_SCAN", "f32")
+    rng = np.random.default_rng(41)
+    bits = rng.random((600, 64)) > 0.5
+    bt = BitTable(64)
+    bt.insert(bits)
+    bidx = HNSWIndex(bt, Metric.HAMMING, m=8, ef_construction=32,
+                     wave_size=128)
+    assert bidx._packed_dtype() is None
+    _, r = bidx.search(bits[:2], 3)
+    assert r[0, 0] == 0

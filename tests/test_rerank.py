@@ -118,3 +118,32 @@ def test_expression_index_out_of_order_inserts():
                            beam_expand=4)
     d2, r2 = idx2.search(q, 10, ef_search=80)
     assert (r2 >= 0).any() and not np.isin(r2, rows0[:100]).any()
+
+
+def test_no_rerank_single_search_masks_deleted(data):
+    """rerank=False must run ONE shadow search (it used to re-issue the
+    identical search just for distances) and must never pair a finite
+    distance with a -1 id when the candidate's source row was deleted."""
+    from pgvector_tpu.rerank import ExpressionIndex
+
+    db, q = data
+    table = DenseTable(db.shape[1])
+    rows = table.insert(db)
+    ei = ExpressionIndex(table, expr=lambda v: v[:, :8], metric=Metric.L2,
+                         m=8, ef_construction=32, rerank=False)
+    calls = []
+    inner = ei.index.search
+
+    def counted(*a, **kw):
+        calls.append(1)
+        return inner(*a, **kw)
+
+    ei.index.search = counted
+    # delete some sources WITHOUT vacuuming the shadow: stale shadow rows
+    # now map to dead sources and must surface as (-1, inf)
+    table.delete(rows[:50])
+    d, r = ei.search(q, 10)
+    assert len(calls) == 1
+    assert not np.isin(r, rows[:50]).any()
+    assert np.isinf(d[r == -1]).all() if (r == -1).any() else True
+    assert np.isfinite(d[r >= 0]).all()
