@@ -22,9 +22,10 @@ typically land at several hundred to ~2k QPS per core at recall@10≈0.95,
 so 1,000 QPS is taken as the single-core baseline.  The BASELINE.json
 target is ≥10×.
 
-Environment knobs: BENCH_N (default 1_000_000), BENCH_Q (4000),
-BENCH_BATCH (4000 — fixed per-op dispatch overhead dominates below
-~2k queries/batch; 1000->4000 measured 1.75x QPS), BENCH_EF (sweep
+Environment knobs: BENCH_N (default 1_000_000), BENCH_Q (8000),
+BENCH_BATCH (8000 — throughput saturates at ~8k queries/batch:
+11,566 → 12,472 qps going 4000 → 8000 at 1M, flat at 16000; fixed
+per-op dispatch overhead dominates below ~2k), BENCH_EF (sweep
 list), BENCH_EXPAND (4), BENCH_QEXPAND (8),
 BENCH_IVF (1 = also benchmark IVFFlat probes=10).
 """
@@ -136,8 +137,8 @@ def main():
     from pgvector_tpu.utils.telemetry import Progress
 
     n = int(os.environ.get("BENCH_N", 1_000_000))
-    nq = int(os.environ.get("BENCH_Q", 4000))
-    batch = int(os.environ.get("BENCH_BATCH", 4000))
+    nq = int(os.environ.get("BENCH_Q", 8000))
+    batch = int(os.environ.get("BENCH_BATCH", 8000))
     ef_sweep = [int(x) for x in os.environ.get("BENCH_EF", "24,40,64,100").split(",")]
     expand = int(os.environ.get("BENCH_EXPAND", 4))        # build-side beam
     qexpand = int(os.environ.get("BENCH_QEXPAND", 8))     # query-side beam
