@@ -298,8 +298,14 @@ def visited_probe(table: jnp.ndarray, elems: jnp.ndarray,
     table = table.at[rows, f1].max(
         jnp.where(want1, elems, -1).reshape(-1))
     won1 = table[rows, f1].reshape(elems.shape) == elems
-    # insert pass 2: the rest try slot 2
+    # insert pass 2: the rest try slot 2.  Occupancy must be RE-READ after
+    # the pass-1 scatter — the stale pre-pass occ2 can look empty for a slot
+    # pass 1 just filled, and the scatter-max would then evict that fresh
+    # occupant (A at f1(A) evicted by B>A with f2(B)==f1(A)), breaking the
+    # "an insert never evicts an occupant" invariant ResumeScanItems
+    # depends on.
     rem = (~seen) & live & ~(want1 & won1)
+    occ2 = table[rows, f2].reshape(elems.shape)
     want2 = rem & (occ2 < 0)
     table = table.at[rows, f2].max(
         jnp.where(want2, elems, -1).reshape(-1))
@@ -493,7 +499,7 @@ def _init_pool(qs, init_d, init_i, ef: int):
 
 
 def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
-                 ef: int, lm: int, max_steps: int, expand: int = 1,
+                 ef: int, max_steps: int, expand: int = 1,
                  disc=None, vmode: str = "hash2", packed=None, metric=None,
                  pallas_tail: bool = False):
     """Algorithm 2 (HnswSearchLayer, hnswutils.c:822-985), batched, as a
@@ -550,10 +556,10 @@ def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
     return pool_d, pool_i, visited, steps
 
 
-@functools.partial(jax.jit, static_argnames=("ef",))
-def _pool_seed(qs, init_d, init_i, visited, ef: int):
+@functools.partial(jax.jit, static_argnames=("ef", "vmode"))
+def _pool_seed(qs, init_d, init_i, visited, ef: int, vmode: str = "hash2"):
     pool_d, pool_i, pool_x = _init_pool(qs, init_d, init_i, ef)
-    visited, _ = visited_probe(visited, pool_i)
+    visited, _ = visited_probe(visited, pool_i, vmode)
     return pool_d, pool_i, pool_x, visited
 
 
@@ -562,7 +568,8 @@ def search_layer_host(kind, metric, values, nbr0, nbr_up, up_slot, level,
                       expand: int = 1, vmode: str = "hash2"):
     """Host-driven Algorithm 2: the same hop step, with termination checked
     on the host (CPU backend path)."""
-    pool_d, pool_i, pool_x, visited = _pool_seed(qs, init_d, init_i, visited, ef)
+    pool_d, pool_i, pool_x, visited = _pool_seed(qs, init_d, init_i, visited,
+                                                 ef, vmode)
     lvl = jnp.int32(level)
     steps = 0
     for _ in range(max_steps):
@@ -947,9 +954,9 @@ def _group_edges(tgt, src, d, smax: int):
     return targets, new_src, u_count
 
 
-def _intra_block(kind, metric, values, elems, eligible, mi: int):
-    """Top-mi nearest eligible wave-mates per wave member (see
-    intra_wave_candidates) — inline, for use inside connect_level."""
+def _intra_core(kind, metric, values, elems, eligible, mi: int):
+    """Shared body of intra_wave_candidates/_intra_block: top-mi nearest
+    eligible wave-mates per wave member from one (B, B) distance block."""
     d = _pairwise_dists(kind, metric, values, elems[None, :])[0]  # (B, B)
     b = d.shape[0]
     eye = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0) == \
@@ -957,8 +964,16 @@ def _intra_block(kind, metric, values, elems, eligible, mi: int):
     d = jnp.where(eye | ~eligible[None, :], jnp.inf, d)
     neg, pos = jax.lax.top_k(-d, mi)
     ids = jnp.where(jnp.isinf(-neg), -1, elems[pos])
-    ids = jnp.where(eligible[:, None], ids, -1)
     return jnp.where(ids >= 0, -neg, jnp.inf), ids
+
+
+def _intra_block(kind, metric, values, elems, eligible, mi: int):
+    """Top-mi nearest eligible wave-mates per wave member (see
+    intra_wave_candidates) — inline, for use inside connect_level; also
+    blanks the rows of ineligible members."""
+    d, ids = _intra_core(kind, metric, values, elems, eligible, mi)
+    ids = jnp.where(eligible[:, None], ids, -1)
+    return jnp.where(ids >= 0, d, jnp.inf), ids
 
 
 @functools.partial(
@@ -1090,14 +1105,7 @@ def intra_wave_candidates(kind, metric, values, elems, eligible, mi: int):
 
     ``eligible`` masks members that exist at the level being connected.
     Returns (dists (B, mi), elem ids (B, mi))."""
-    d = _pairwise_dists(kind, metric, values, elems[None, :])[0]  # (B, B)
-    b = d.shape[0]
-    eye = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0) == \
-        jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
-    d = jnp.where(eye | ~eligible[None, :], jnp.inf, d)
-    neg, pos = jax.lax.top_k(-d, mi)
-    ids = jnp.where(jnp.isinf(-neg), -1, elems[pos])
-    return jnp.where(ids >= 0, -neg, jnp.inf), ids
+    return _intra_core(kind, metric, values, elems, eligible, mi)
 
 
 # ---------------------------------------------------------------------------
@@ -1165,7 +1173,7 @@ def wave_search(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
         visited = visited_init(nq, ef, vmode)
         pd, pi, _, _ = search_layer(
             score, lambda e, _lc=lc: nbrs(e, jnp.int32(_lc)), qs_,
-            pool_d, pool_i, visited, ef=ef, lm=2 * m, max_steps=4 * ef + 64,
+            pool_d, pool_i, visited, ef=ef, max_steps=4 * ef + 64,
             expand=expand, vmode=vmode,
         )
         return pd, pi
@@ -1261,7 +1269,7 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
     packed = (packed_vals,) if packed_vals is not None else None
     pool_d, pool_i, _, steps = search_layer(
         score, lambda e: nbrs(e, jnp.int32(0)), qs, cur_d[:, None],
-        cur[:, None], visited, ef=ef, lm=2 * m,
+        cur[:, None], visited, ef=ef,
         max_steps=max_steps or (8 * ef + 64),
         expand=expand, vmode=vmode, packed=packed, metric=metric,
         pallas_tail=pallas_tail,
@@ -1310,7 +1318,7 @@ def query_search_first(kind, metric, values, nbr0, nbr_up, up_slot, qs,
             jnp.full((nq, dk), -1, jnp.int32))
     pool_d, pool_i, visited, (disc_d, disc_i), _, scanned = search_layer(
         score, lambda e: nbrs(e, jnp.int32(0)), qs, cur_d[:, None],
-        cur[:, None], visited, ef=ef, lm=2 * m, max_steps=8 * ef + 64,
+        cur[:, None], visited, ef=ef, max_steps=8 * ef + 64,
         expand=expand, disc=disc,
     )
     return pool_d, pool_i, visited, disc_d, disc_i, scanned
@@ -1337,7 +1345,7 @@ def query_search_resume(kind, metric, values, nbr0, nbr_up, up_slot, qs,
         [disc_i[:, keep:], jnp.full((nq, keep), -1, jnp.int32)], axis=1)
     pool_d, pool_i, visited, (disc_d, disc_i), _, scanned = search_layer(
         score, lambda e: nbrs(e, jnp.int32(0)), qs, seed_d, seed_i,
-        visited, ef=ef, lm=2 * m, max_steps=8 * ef + 64, expand=expand,
+        visited, ef=ef, max_steps=8 * ef + 64, expand=expand,
         disc=(rest_d, rest_i),
     )
     return pool_d, pool_i, visited, disc_d, disc_i, scanned

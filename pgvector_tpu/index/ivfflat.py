@@ -471,13 +471,18 @@ class IVFFlatIndex:
             if filter_mask is not None
             else None
         )
+        # one host sync per CALL, not per probe batch (each sync is a
+        # tunnel-latency stall on the remote-TPU image): the any-dead bit
+        # is invariant while this search runs
+        any_dead = bool(jnp.any(~valid[: self.table.count]))
 
         best_d = jnp.full((nq, k), jnp.inf, jnp.float32)
         best_i = jnp.full((nq, k), -1, jnp.int32)
         off = 0
         while off < max_probes:
             batch = min(probes, max_probes - off)
-            d, i = self._probe_batch(qs, order, off, batch, k, valid, fmask)
+            d, i = self._probe_batch(qs, order, off, batch, k, valid, fmask,
+                                     any_dead)
             best_d, best_i = merge_topk(best_d, best_i, d, i, k)
             off += batch
             if not iterative:
@@ -509,7 +514,8 @@ class IVFFlatIndex:
         _, order = jax.lax.top_k(-scores, max_probes)
         return order
 
-    def _probe_batch(self, qs, order, off, batch, k, valid, fmask):
+    def _probe_batch(self, qs, order, off, batch, k, valid, fmask,
+                     any_dead: bool = True):
         """GetScanItems for one probe window (ivfscan.c:123-187).
 
         Two device formulations, picked by probe coverage:
@@ -527,7 +533,7 @@ class IVFFlatIndex:
         if (not self._is_bit
                 and nq * batch * self.INVERT_COVERAGE >= self.lists):
             return self._probe_batch_inverted(
-                qs, order, off, batch, k, valid, fmask)
+                qs, order, off, batch, k, valid, fmask, any_dead)
         return self._probe_batch_blocks(qs, order, off, batch, k, valid, fmask)
 
     #: work-item shape knobs for the inverted scan: each item scores a
@@ -540,7 +546,8 @@ class IVFFlatIndex:
     WORK_QC = 64
     WORK_SLOTS = 1024
 
-    def _probe_batch_inverted(self, qs, order, off, batch, k, valid, fmask):
+    def _probe_batch_inverted(self, qs, order, off, batch, k, valid, fmask,
+                              any_dead: bool = True):
         """Per-list inversion of the probe scan (BENCH_NOTES.md roadmap #1).
 
         The reference scans each probed list's entry pages per query
@@ -569,8 +576,7 @@ class IVFFlatIndex:
         # never touches row ids until the end, so deletes/filters must be
         # expressed per posting slot.  Fast path: nothing dead, no filter →
         # ok ≡ slot occupied (postings_flat >= 0), no gather at all.
-        if fmask is None and not bool(
-                jnp.any(~valid[: self.table.count])):
+        if fmask is None and not any_dead:
             ok_post = self.postings_flat >= 0
         else:
             fm = fmask if fmask is not None else \

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import distance as D
 from ..ops.metric import Metric
-from ..ops.topk import topk_smallest
+from ..ops.topk import merge_topk, topk_smallest
 
 # ---------------------------------------------------------------------------
 # sharded exact search — per-shard partial top-k + ICI merge
@@ -72,6 +72,14 @@ def sharded_exact_search(
         qn = qs_rep.shape[0]
         all_d = jnp.moveaxis(all_d, 0, 1).reshape(qn, -1)
         all_i = jnp.moveaxis(all_i, 0, 1).reshape(qn, -1)
+        if all_d.shape[1] < k:
+            # k exceeds the merged candidate width (tiny table): pad with
+            # inf/-1 like FlatIndex instead of letting lax.top_k raise
+            padw = k - all_d.shape[1]
+            all_d = jnp.concatenate(
+                [all_d, jnp.full((qn, padw), jnp.inf, all_d.dtype)], axis=1)
+            all_i = jnp.concatenate(
+                [all_i, jnp.full((qn, padw), -1, all_i.dtype)], axis=1)
         d, i = topk_smallest(all_d, k, ids=all_i)
         i = jnp.where(jnp.isinf(d), -1, i)
         return d, i
@@ -98,13 +106,20 @@ def sharded_kmeans_step(
     axis: str = "shard",
     spherical: bool = False,
     binary: bool = False,
+    key: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """One Lloyd's iteration over a sample-sharded dataset: local assignment
     matmul + local per-center partial sums, reduced with psum over ICI —
     the data-parallel analogue of the reference's parallel build workers
     feeding one shared state (SURVEY.md §2.4.2-3).  ``spherical``/``binary``
     apply the reference's per-round center normalization hooks
-    (NormCenters ivfkmeans.c:96-105; bit threshold ivfutils.c:282-423)."""
+    (NormCenters ivfkmeans.c:96-105; bit threshold ivfutils.c:282-423).
+
+    ``key`` enables the empty-cluster random reseed (ivfkmeans.c:222-227,
+    matching the single-chip _new_centers): every shard derives the same
+    candidate global row ids from the replicated key; the owning shard
+    contributes each sampled row and a psum replicates it.  Without a key,
+    empty clusters keep their previous center."""
     s = data.shape[0]
     n_shards = mesh.shape[axis]
     pad = (-s) % n_shards
@@ -112,8 +127,12 @@ def sharded_kmeans_step(
     if pad:
         data = jnp.pad(data, ((0, pad), (0, 0)))
     weights = jnp.concatenate([jnp.ones(s), jnp.zeros(pad)])
+    reseed = key is not None
+    if key is None:
+        key = jnp.zeros((2,), jnp.uint32)
+    key = jnp.asarray(key)
 
-    def shard_fn(data_s, w_s, centers_rep):
+    def shard_fn(data_s, w_s, centers_rep, key_rep):
         ip = jax.lax.dot_general(
             data_s, centers_rep,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -130,21 +149,38 @@ def sharded_kmeans_step(
         sums = jax.lax.psum(sums, axis)
         counts = jax.lax.psum(counts, axis)
         new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
+        if reseed:
+            # empty-cluster reseed BEFORE the normalize/threshold hooks,
+            # matching _new_centers: sample k global rows from the
+            # replicated key; the owning shard contributes each row
+            shard_i = jax.lax.axis_index(axis)
+            rows_per = data_s.shape[0]
+            rand_rows = jax.random.randint(key_rep, (k,), 0, s)
+            local = rand_rows - shard_i * rows_per
+            owned = (local >= 0) & (local < rows_per)
+            contrib = jnp.where(
+                owned[:, None], data_s[jnp.clip(local, 0, rows_per - 1)], 0.0)
+            sampled = jax.lax.psum(contrib, axis)
+            new_centers = jnp.where((counts == 0)[:, None], sampled,
+                                    new_centers)
+        else:
+            new_centers = jnp.where((counts == 0)[:, None], centers_rep,
+                                    new_centers)
         if spherical:
             norms = jnp.sqrt(jnp.sum(new_centers**2, axis=1, keepdims=True))
             new_centers = new_centers / jnp.maximum(norms, 1e-30)
         if binary:
             new_centers = (new_centers > 0.5).astype(jnp.float32)
-        return jnp.where((counts == 0)[:, None], centers_rep, new_centers)
+        return new_centers
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(None, None)),
+        in_specs=(P(axis, None), P(axis), P(None, None), P(None)),
         out_specs=P(None, None),
         check_vma=False,  # psum makes the outputs replicated
     )
-    return fn(data, weights, centers)
+    return fn(data, weights, centers, key)
 
 
 def train_centers_sharded(
@@ -163,26 +199,46 @@ def train_centers_sharded(
     (ivfbuild.c:829-966).  Seeding (k-means++) is sequential by nature and
     runs replicated; each Lloyd round is one sharded step with psum'd
     center statistics over ICI.  Early exit when centers stop moving
-    (assignment-change exit of ivfkmeans.c:347 is equivalent at fixpoint)."""
-    from ..index.ivf_kmeans import _kmeanspp_init
+    (assignment-change exit of ivfkmeans.c:347 is equivalent at fixpoint).
+    Empty clusters reseed from random samples each round and the single-chip
+    post-checks apply (ivfkmeans.c:222-227, 490-547)."""
+    from ..index.ivf_kmeans import _kmeanspp_init, train_centers
 
     data = data.astype(jnp.float32)
+    if data.shape[0] < k:
+        # tiny tables don't need the mesh; reuse the single-chip
+        # sample-tiling path so both entry points agree
+        return train_centers(data, k, spherical=spherical, binary=binary,
+                             seed=seed)
     key = jax.random.PRNGKey(seed)
-    init = _kmeanspp_init(data, key, k, spherical)
+    key, k_init = jax.random.split(key)
+    init = _kmeanspp_init(data, k_init, k, spherical)
     if binary:
         init = (init > 0.5).astype(jnp.float32)
     centers = init
     step = jax.jit(
-        lambda d, c: sharded_kmeans_step(
-            mesh, d, c, axis=axis, spherical=spherical, binary=binary
+        lambda d, c, kk: sharded_kmeans_step(
+            mesh, d, c, axis=axis, spherical=spherical, binary=binary, key=kk
         )
     )
     for _ in range(max_iters):
-        new = step(data, centers)
+        key, sub = jax.random.split(key)
+        new = step(data, centers, sub)
         if bool(jnp.all(new == centers)):
             centers = new
             break
         centers = new
+    # post-checks (ivfkmeans.c:490-547), matching train_centers
+    from ..errors import InternalError
+
+    centers_host = jax.device_get(centers)
+    if np.isnan(centers_host).any() or np.isinf(centers_host).any():
+        raise InternalError(
+            "k-means produced non-finite centers. Please report a bug.")
+    if spherical and (np.linalg.norm(centers_host, axis=1) == 0).any():
+        raise InternalError(
+            "k-means produced a zero-norm center for a spherical metric."
+            " Please report a bug.")
     return centers
 
 
@@ -309,6 +365,32 @@ def _stack_sharded(mesh: Mesh, axis: str, blocks, fill) -> jnp.ndarray:
     return jax.device_put(stacked, NamedSharding(mesh, spec))
 
 
+def _slice_table(table, lo: int, hi: int):
+    """Sub-table holding rows [lo, hi) of ``table`` — same kind (dense /
+    bit / sparse), copied column-by-column on device with the validity
+    mask intact (deleted rows stay deleted in the shard)."""
+    from ..store.table import BitTable, DenseTable, SparseTable
+
+    n = hi - lo
+    cap = max(n, 8)
+    if isinstance(table, DenseTable):
+        sub = DenseTable(table.dim, dtype=table.dtype, capacity=cap)
+        cols = ("data",)
+    elif isinstance(table, BitTable):
+        sub = BitTable(table.dim, capacity=cap)
+        cols = ("data",)
+    elif isinstance(table, SparseTable):
+        sub = SparseTable(table.dim, nnz_cap=table.nnz_cap, capacity=cap)
+        cols = ("idx", "val")
+    else:
+        raise TypeError(f"unsupported table type {type(table).__name__}")
+    for c in cols:
+        setattr(sub, c, getattr(sub, c).at[:n].set(getattr(table, c)[lo:hi]))
+    sub.valid = sub.valid.at[:n].set(table.valid[lo:hi])
+    sub.count = n
+    return sub
+
+
 def _build_shards(table, n_shards: int, make_index, parallel: bool = True):
     """Partition the table into contiguous row ranges and build one
     sub-index per range — CONCURRENTLY.  The reference parallelizes one
@@ -321,20 +403,12 @@ def _build_shards(table, n_shards: int, make_index, parallel: bool = True):
     ``s``'s local row ids to global table row ids."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from ..store.table import DenseTable
     from .mesh import shard_rows
 
     n = table.count
-    data = np.asarray(table.data[:n])
-    valid = np.asarray(table.valid[:n])
     subs, g_rows = [], []
     for lo, hi in shard_rows(n, n_shards):
-        sub = DenseTable(table.dim, dtype=table.dtype,
-                         capacity=max(hi - lo, 8))
-        rows = sub.insert(data[lo:hi])
-        if not valid[lo:hi].all():
-            sub.delete(rows[~valid[lo:hi]])
-        subs.append(sub)
+        subs.append(_slice_table(table, lo, hi))
         g_rows.append(np.arange(lo, hi, dtype=np.int32))
     if parallel and n_shards > 1:
         with ThreadPoolExecutor(max_workers=n_shards) as pool:
@@ -702,27 +776,43 @@ class DeviceShardedIVFFlatIndex:
                 c_sq = jnp.sum(cent * cent, axis=1)
                 cscore = c_sq[None, :] - 2.0 * ip
             _, order = jax.lax.top_k(-cscore, probes)  # (Q, P)
-            cand = post[order].reshape(qs.shape[0], -1)  # (Q, C) local ids
-            gcand = jnp.where(cand >= 0, grows[jnp.maximum(cand, 0)], -1)
-            safe_g = jnp.maximum(gcand, 0)
-            ok = (gcand >= 0) & row_valid[safe_g] & fmask[safe_g]
-            v = data[jnp.maximum(cand, 0)].astype(jnp.float32)  # (Q, C, Dm)
-            if normalized:
-                nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-                v = v / jnp.maximum(nrm, 1e-30)
-            vip = jax.lax.dot_general(
-                qs, v, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-                precision=D.dot_precision(),
-            )
-            if metric is Metric.L2:
-                vsq = jnp.sum(v * v, axis=-1)
-                qsq = jnp.sum(qs * qs, axis=-1)[:, None]
-                s = jnp.maximum(qsq - 2.0 * vip + vsq, 0.0)
-            else:
-                s = -vip
-            s = jnp.where(ok, s, jnp.inf)
-            d, i = topk_smallest(s, k, ids=gcand)
+            cand_all = post[order].reshape(qs.shape[0], -1)  # (Q, C) local
+
+            def score_cands(cand):
+                gcand = jnp.where(cand >= 0, grows[jnp.maximum(cand, 0)], -1)
+                safe_g = jnp.maximum(gcand, 0)
+                ok = (gcand >= 0) & row_valid[safe_g] & fmask[safe_g]
+                v = data[jnp.maximum(cand, 0)].astype(jnp.float32)
+                if normalized:
+                    nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+                    v = v / jnp.maximum(nrm, 1e-30)
+                vip = jax.lax.dot_general(
+                    qs, v, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=D.dot_precision(),
+                )
+                if metric is Metric.L2:
+                    vsq = jnp.sum(v * v, axis=-1)
+                    qsq = jnp.sum(qs * qs, axis=-1)[:, None]
+                    s = jnp.maximum(qsq - 2.0 * vip + vsq, 0.0)
+                else:
+                    s = -vip
+                return jnp.where(ok, s, jnp.inf), gcand
+
+            # C = probes · cap, where cap is the PADDED per-list width
+            # (pow2 of the longest list) — under k-means skew an unchunked
+            # (Q, C, Dm) gather is tens of GB.  Stream candidate chunks
+            # with a running top-k merge (bounded ~0.5 GB transients);
+            # also pads k > C with inf/-1 instead of crashing lax.top_k.
+            qn = qs.shape[0]
+            C = cand_all.shape[1]
+            dim = data.shape[1]
+            cc = min(C, max(64, 2**29 // max(1, qn * dim * 4)))
+            d = jnp.full((qn, k), jnp.inf, jnp.float32)
+            i = jnp.full((qn, k), -1, jnp.int32)
+            for s0 in range(0, C, cc):
+                sc, gc = score_cands(cand_all[:, s0:s0 + cc])
+                d, i = merge_topk(d, i, sc, gc, k)
             i = jnp.where(jnp.isinf(d), -1, i)
             all_d = jax.lax.all_gather(d, axis, axis=0)
             all_i = jax.lax.all_gather(i, axis, axis=0)

@@ -384,3 +384,50 @@ def test_packed_scan_override_ignored_for_nondense(monkeypatch):
     assert bidx._packed_dtype() is None
     _, r = bidx.search(bits[:2], 3)
     assert r[0, 0] == 0
+
+
+def test_visited_hash2_insert_never_evicts():
+    """The 2-choice visited table's documented invariant: an insert NEVER
+    evicts an occupant (ResumeScanItems depends on records persisting).
+    Before the fix, pass 2 used slot-2 occupancy read before the pass-1
+    scatter, so B (with slot 1 taken and slot2(B) == slot1(A), B > A)
+    could scatter-max over the A that pass 1 just recorded."""
+    import jax.numpy as jnp
+
+    from pgvector_tpu.index import hnsw_kernels as K
+
+    table = K.visited_init(1, 8)
+    cap = table.shape[1]
+    shift = np.uint32(32 - (cap.bit_length() - 1))
+    ids = np.arange(1, 200_000, dtype=np.uint32)
+    s1 = (ids * np.uint32(0x9E3779B1)) >> shift
+    s2 = (ids * np.uint32(0x85EBCA77)) >> shift
+    s1_of = {int(i): int(x) for i, x in zip(ids, s1)}
+    s2_of = {int(i): int(x) for i, x in zip(ids, s2)}
+    from collections import defaultdict
+
+    by_s1 = defaultdict(list)
+    for i, x in zip(ids, s1):
+        by_s1[int(x)].append(int(i))
+    triple = None
+    for grp in by_s1.values():
+        if len(grp) < 2:
+            continue
+        c, b = grp[0], grp[1]
+        for a in by_s1.get(s2_of[b], []):
+            if a < b and a not in (b, c) and s1_of[a] != s1_of[b]:
+                triple = (c, b, a)
+                break
+        if triple:
+            break
+    assert triple, "no collision triple in range (hash changed?)"
+    c, b, a = triple
+    table, seen = K.visited_probe(table, jnp.asarray([[c]], jnp.int32))
+    assert not bool(seen[0, 0])
+    # a and b in ONE block: pass 1 records a at its empty slot 1; b's
+    # slot 1 is taken by c, so pass 2 aims at slot2(b) == slot1(a)
+    table, seen = K.visited_probe(table, jnp.asarray([[a, b]], jnp.int32))
+    assert not seen.any()
+    _, seen = K.visited_probe(table, jnp.asarray([[a, c]], jnp.int32))
+    assert bool(seen[0, 0]), "A was evicted by B's stale-occupancy insert"
+    assert bool(seen[0, 1])

@@ -185,3 +185,63 @@ def test_device_sharded_lifecycle(mesh, rng, tmp_path):
     # inserted rows reachable through the loaded replica
     _, rh = h2.search(db[1000:][:4], 5, ef_search=60)
     assert np.isin(rh, rows1).any()
+
+
+def test_sharded_exact_k_exceeds_rows(mesh, rng):
+    """k past the merged candidate width pads with inf/-1 (FlatIndex
+    contract) instead of crashing lax.top_k."""
+    db = rng.normal(size=(100, 8)).astype(np.float32)
+    table = DenseTable(8)
+    table.insert(db)
+    d, i = ShardedFlatIndex(mesh, table, Metric.L2).search(db[:3], 128)
+    assert d.shape == (3, 128)
+    assert (i[:, 100:] == -1).all() and np.isinf(d[:, 100:]).all()
+    e_d, _ = FlatIndex(table, Metric.L2).search(db[:3], 100)
+    assert np.allclose(d[:, :100], e_d, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_kmeans_reseeds_empty_clusters(mesh, rng):
+    """With a key, empty clusters reseed from random samples (the
+    ivfkmeans.c:222-227 behavior _new_centers implements single-chip);
+    without one they keep the old center."""
+    import jax.random as jr
+
+    data = rng.normal(size=(800, 8)).astype(np.float32)
+    # two centers far outside the data get no members
+    cs = np.vstack([data[:8], 500.0 + np.zeros((2, 8), np.float32)])
+    new = np.asarray(sharded_kmeans_step(
+        mesh, jnp.asarray(data), jnp.asarray(cs), key=jr.PRNGKey(3)))
+    for j in (8, 9):
+        assert not np.allclose(new[j], cs[j])
+        assert np.any(np.all(np.isclose(data, new[j][None, :]), axis=1)), \
+            "reseeded center must be an actual sample"
+    stale = np.asarray(sharded_kmeans_step(
+        mesh, jnp.asarray(data), jnp.asarray(cs)))
+    assert np.allclose(stale[8], cs[8]) and np.allclose(stale[9], cs[9])
+
+
+def test_sharded_wrappers_bit_and_sparse(rng):
+    """Sharded index wrappers cover every table kind the underlying AMs
+    support — bit (Hamming) and sparse shards, with deletes preserved."""
+    from pgvector_tpu.store.table import BitTable, SparseTable
+    from pgvector_tpu.types import SparseVec
+
+    bits = rng.random((600, 64)) > 0.5
+    bt = BitTable(64)
+    rows = bt.insert(bits)
+    bt.delete(rows[:10])
+    sh = ShardedHNSWIndex(bt, Metric.HAMMING, n_shards=2, m=8,
+                          ef_construction=32, wave_size=128, seed=1)
+    d, i = sh.search(bits[20:24], 5)
+    assert not np.isin(i, rows[:10]).any()
+    assert (i[:, 0] == np.arange(20, 24)).all()  # self is nearest (d=0)
+
+    svs = [SparseVec(32, np.sort(rng.choice(32, 4, replace=False)),
+                     rng.normal(size=4).astype(np.float32))
+           for _ in range(400)]
+    st = SparseTable(32, nnz_cap=8)
+    st.insert(svs)
+    shs = ShardedHNSWIndex(st, Metric.L2, n_shards=2, m=8,
+                           ef_construction=32, wave_size=128, seed=1)
+    d, i = shs.search([svs[5]], 5)
+    assert int(i[0, 0]) == 5 and d[0, 0] <= 1e-5
