@@ -128,7 +128,13 @@ class OrderedIndex:
     def insert(self, rows) -> None:
         for r in np.atleast_1d(np.asarray(rows, np.int64)):
             key = self._row_key(int(r))
-            pos = self._bisect(key, side="right")
+            # preserve build()'s (key, row-id) order within equal-key runs:
+            # bisecting on key alone would append after existing duplicates,
+            # making an incrementally-maintained index scan duplicates in a
+            # different order than a rebuilt one
+            lo = self._bisect(key, side="left")
+            hi = self._bisect(key, side="right")
+            pos = lo + bisect.bisect_right(self._rows, int(r), lo, hi)
             self._keys.insert(pos, key)
             self._rows.insert(pos, int(r))
 

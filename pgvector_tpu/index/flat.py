@@ -119,8 +119,16 @@ class FlatIndex:
         if isinstance(table, SparseTable) and metric not in SPARSE_METRICS:
             raise DataException(f"operator {metric.op} does not apply to sparse vectors")
 
+    def _valid(self, fmask):
+        """Live-row mask over the first ``count`` rows, ANDed with an
+        optional caller filter (capacity- or count-sized)."""
+        v = self.table.valid[: self.table.count]
+        if fmask is not None:
+            v = v & jnp.asarray(fmask, dtype=bool)[: self.table.count]
+        return v
+
     # -- dense -------------------------------------------------------------
-    def _search_dense(self, q, k: int):
+    def _search_dense(self, q, k: int, fmask=None):
         table: DenseTable = self.table
         qs = _coerce_dense_queries(q, table.dim)
         metric = self.metric
@@ -136,7 +144,7 @@ class FlatIndex:
             # selection merges dominate the matmul ~100× at 1M×4000q
             self.last_path = "grouped"
             return _grouped_dense(metric, qs, table.data,
-                                  table.valid[: table.count],
+                                  self._valid(fmask),
                                   table.count, k,
                                   _grouped_group_size(table.count,
                                                       qs.shape[0]))
@@ -152,7 +160,7 @@ class FlatIndex:
                 try:
                     out = pallas_topk.exact_topk(
                         metric, qs, table.data[: table.count], k,
-                        valid=table.valid[: table.count],
+                        valid=self._valid(fmask),
                     )
                     self.last_path = "pallas"
                     return out
@@ -171,11 +179,11 @@ class FlatIndex:
 
         return tiled_topk(
             score, (table.data,), table.count, k,
-            tile=self.tile, valid=table.valid[: table.count],
+            tile=self.tile, valid=self._valid(fmask),
         )
 
     # -- bit ---------------------------------------------------------------
-    def _search_bit(self, q, k: int):
+    def _search_bit(self, q, k: int, fmask=None):
         table: BitTable = self.table
         if isinstance(q, Bit):
             q = q.bits[None, :]
@@ -196,7 +204,7 @@ class FlatIndex:
 
         return tiled_topk(
             score, (table.data,), table.count, k,
-            tile=self.tile, valid=table.valid[: table.count],
+            tile=self.tile, valid=self._valid(fmask),
         )
 
     # -- sparse ------------------------------------------------------------
@@ -228,7 +236,7 @@ class FlatIndex:
         table._dense_cache = (key, data)
         return data
 
-    def _search_sparse(self, q, k: int):
+    def _search_sparse(self, q, k: int, fmask=None):
         table: SparseTable = self.table
         if isinstance(q, SparseVec):
             q = [q]
@@ -255,7 +263,7 @@ class FlatIndex:
             self.last_path = "grouped-densified"
             return _grouped_dense(
                 metric, jnp.asarray(qs), self._sparse_densified(),
-                table.valid[: table.count], table.count, k,
+                self._valid(fmask), table.count, k,
                 _grouped_group_size(table.count, len(q)),
             )
 
@@ -281,20 +289,23 @@ class FlatIndex:
 
             outs.append(tiled_topk(
                 score, (table.idx, table.val), table.count, k,
-                tile=self.tile, valid=table.valid[: table.count],
+                tile=self.tile, valid=self._valid(fmask),
             ))
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
 
-    def search(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, q, k: int,
+               filter_mask=None) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k.  Returns (distances, row_ids) with user-facing
-        operator distances; absent slots (k > live rows) give inf / -1."""
+        operator distances; absent slots (k > live rows) give inf / -1.
+        ``filter_mask`` restricts results to rows where it is True (the
+        WHERE-clause analogue every index path also accepts)."""
         if isinstance(self.table, DenseTable):
-            stored, ids = self._search_dense(q, k)
+            stored, ids = self._search_dense(q, k, filter_mask)
         elif isinstance(self.table, BitTable):
-            stored, ids = self._search_bit(q, k)
+            stored, ids = self._search_bit(q, k, filter_mask)
         else:
-            stored, ids = self._search_sparse(q, k)
+            stored, ids = self._search_sparse(q, k, filter_mask)
         if self.metric is Metric.L2:
             user = jnp.where(jnp.isinf(stored), stored, jnp.sqrt(jnp.maximum(stored, 0.0)))
         else:

@@ -183,7 +183,10 @@ class HNSWIndex:
 
         env = os.environ.get("PGVECTOR_TPU_L_UNROLL")
         if env is not None:
-            return int(env)
+            # clamp like the derived path: nbr_up/kept_up are statically
+            # L_MAX deep, so a larger unroll would let levels alias the
+            # top level's neighbor lists (gather clamping hides it)
+            return min(L_MAX, max(1, int(env)))
         # highest level with ≥2 expected elements: E[count at L] = n·m^-L.
         # Every extra unroll level costs a full masked beam pass per wave
         # (measured 1313 vs 1830 rows/s at 1M for unroll 5 vs 4), so don't
@@ -361,7 +364,7 @@ class HNSWIndex:
             return
         self.progress.set_phase("loading tuples", len(live))
         with timers.phase("hnsw.build"):
-            self._insert_rows(live, initial_build=True)
+            self._insert_rows(live)
             # the fused wave loop has no host syncs — waves pipeline
             # asynchronously through the dispatch queue.  Block here so
             # build() returning means the graph is actually materialized
@@ -371,10 +374,10 @@ class HNSWIndex:
     def insert(self, rows) -> None:
         """aminsert analogue (hnswinsert.c:695-743) for a batch of new rows."""
         rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
-        self._insert_rows(rows, initial_build=False)
+        self._insert_rows(rows)
 
     # ----------------------------------------------------- core insert driver
-    def _insert_rows(self, rows: np.ndarray, initial_build: bool) -> None:
+    def _insert_rows(self, rows: np.ndarray) -> None:
         values, keep = self._form_values(rows)
         rows = rows[keep]
         if not keep.all():
@@ -905,8 +908,12 @@ class HNSWIndex:
         """Device bytes of per-query scan state at a given ef: pool slots ×
         (vector copy + distance + id + expanded flag) plus the visited hash
         table — the allocation that OOMs first at scale."""
-        vec_bytes = 4 * (self.table.dim if self.kind != "sparse"
-                         else 2 * self.table.nnz_cap)
+        if self.kind == "sparse":
+            vec_bytes = 4 * 2 * self.table.nnz_cap
+        elif self.kind == "bit":
+            vec_bytes = 4 * self.table.words  # packed uint32, not per-dim
+        else:
+            vec_bytes = 4 * self.table.dim
         pool_bytes = ef * (vec_bytes + 9)
         return pool_bytes + 4 * K.visited_capacity(ef)
 
@@ -1082,11 +1089,9 @@ class HNSWIndex:
         return out_d, out_r
 
     def _user_dist(self, stored: jnp.ndarray) -> jnp.ndarray:
-        if self.metric is Metric.L2:
-            return jnp.where(jnp.isinf(stored), stored, jnp.sqrt(jnp.maximum(stored, 0.0)))
-        if self.metric is Metric.COSINE:
-            return jnp.where(jnp.isinf(stored), stored, 1.0 + stored)
-        return stored
+        from ..ops.metric import stored_to_user
+
+        return stored_to_user(self.metric, stored)
 
     # ------------------------------------------------------------------ vacuum
     def vacuum(self) -> None:

@@ -494,11 +494,9 @@ class IVFFlatIndex:
         return np.asarray(self._user_dist(best_d)), np.asarray(best_i)
 
     def _user_dist(self, stored: jnp.ndarray) -> jnp.ndarray:
-        if self.metric is Metric.L2:
-            return jnp.where(jnp.isinf(stored), stored, jnp.sqrt(jnp.maximum(stored, 0.0)))
-        if self.metric is Metric.COSINE:
-            return jnp.where(jnp.isinf(stored), stored, 1.0 + stored)
-        return stored
+        from ..ops.metric import stored_to_user
+
+        return stored_to_user(self.metric, stored)
 
     def _probe_order(self, qs: jnp.ndarray, max_probes: int) -> jnp.ndarray:
         """GetScanLists — distance to every list center, nearest-first

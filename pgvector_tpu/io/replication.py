@@ -47,7 +47,12 @@ class ReplicationLog:
     def __init__(self, path: str):
         self.path = path
         os.makedirs(path, exist_ok=True)
-        self.seq = len(self._entries())
+        # next seq = one past the HIGHEST existing record, not the entry
+        # count: a log with a gap (pruned/lost record) must never re-issue
+        # a used sequence number — overwriting history in place would hand
+        # replicas different content at an already-replayed seq
+        entries = self._entries()
+        self.seq = (int(entries[-1].split("_")[1]) + 1) if entries else 0
 
     def _entries(self) -> List[str]:
         return sorted(d for d in os.listdir(self.path)
@@ -107,11 +112,24 @@ def apply_deltas(table, indexes, path: str, start_seq: int = 0) -> int:
         rec_seq = int(name.split("_")[1])
         if rec_seq < start_seq:
             continue
+        if rec_seq != seq:
+            # a gap means a lost mutation: replaying past it would build a
+            # silently divergent replica that LOOKS caught up
+            raise DataException(
+                f"delta log gap: expected seq {seq}, found {rec_seq} — "
+                f"re-bootstrap the replica from a newer base checkpoint")
         d = os.path.join(path, name)
         with open(os.path.join(d, "record.json")) as f:
             rec = json.load(f)
         if rec.get("magic") != _MAGIC:
             raise DataException("invalid delta record: bad magic")
+        if rec.get("version") != _VERSION:
+            raise DataException(
+                f"unsupported delta record version {rec.get('version')}")
+        if rec.get("seq") != rec_seq:
+            raise DataException(
+                f"delta record seq mismatch: dir {rec_seq}, "
+                f"payload {rec.get('seq')}")
         if rec["op"] == "insert":
             rows = _load_arr(d, "rows")
             if rec["kind"] == "sparse":

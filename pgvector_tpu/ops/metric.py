@@ -43,9 +43,13 @@ def stored_to_user(metric: Metric, stored: jnp.ndarray) -> jnp.ndarray:
     - Cosine indexes order by -IP of unit vectors; user sees 1 + stored
       (since cos_dist = 1 - ip = 1 + (-ip)); clamped to [0, 2].
     - Everything else is stored as-is.
+    - +inf marks an absent result slot (k > matches) and passes through
+      unchanged on every metric (a clamp would turn it into a plausible
+      distance).
     """
     if metric is Metric.L2:
         return jnp.sqrt(jnp.maximum(stored, 0.0))
     if metric is Metric.COSINE:
-        return jnp.clip(1.0 + stored, 0.0, 2.0)
+        return jnp.where(jnp.isinf(stored), stored,
+                         jnp.clip(1.0 + stored, 0.0, 2.0))
     return stored

@@ -29,6 +29,10 @@ class Relation:
     def __init__(self, table):
         self.table = table
         self.indexes: List[object] = []
+        #: optional io.replication.ReplicationLog — when set, insert /
+        #: delete / vacuum append delta records (the WAL-streaming
+        #: analogue a replica replays via apply_deltas)
+        self.replication_log = None
 
     # ------------------------------------------------------------------- DDL
     def create_index(self, kind: str, metric: Optional[Metric] = None, **opts):
@@ -62,14 +66,21 @@ class Relation:
         rows = self.table.insert(values)
         for idx in self.indexes:
             idx.insert(rows)
+        if self.replication_log is not None:
+            self.replication_log.log_insert(self.table, rows)
         return rows
 
     def delete(self, rows) -> None:
         self.table.delete(rows)
+        if self.replication_log is not None:
+            self.replication_log.log_delete(np.atleast_1d(
+                np.asarray(rows, np.int64)))
 
     def vacuum(self) -> None:
         for idx in self.indexes:
             idx.vacuum()
+        if self.replication_log is not None:
+            self.replication_log.log_vacuum()
 
     # ----------------------------------------------------------------- query
     def knn(
@@ -89,7 +100,8 @@ class Relation:
         path = choose_path(self.table, self.indexes if use_index else [],
                            metric, **knobs)
         if path.index is None:
-            return FlatIndex(self.table, metric).search(q, k)
+            return FlatIndex(self.table, metric).search(
+                q, k, filter_mask=filter_mask)
         kwargs = {}
         if filter_mask is not None:
             kwargs["filter_mask"] = filter_mask
@@ -125,8 +137,12 @@ class Relation:
         return "\n".join(lines)
 
     def _default_metric(self) -> Metric:
-        if self.indexes:
-            return self.indexes[0].metric
+        # first index that HAS an opclass metric (btree OrderedIndex
+        # indexes the total value ordering and carries none)
+        for idx in self.indexes:
+            m = getattr(idx, "metric", None)
+            if m is not None:
+                return m
         return Metric.L2
 
     def __len__(self) -> int:

@@ -131,3 +131,18 @@ def test_relation_btree_ddl():
     assert list(idx.search_eq(db[0])) == [0, 50]
     with pytest.raises(DataException):
         rel.create_index("hnsw")  # AM without opclass metric
+
+
+def test_insert_duplicate_scan_order_matches_rebuild():
+    """Duplicate values scan in (key, row-id) order whether the index was
+    built in one pass or maintained incrementally — insert used to append
+    after existing equal keys, diverging from a rebuild."""
+    t = DenseTable(2)
+    v = np.tile(np.float32([1.0, 2.0]), (6, 1))
+    t.insert(v[:2])  # rows 0, 1
+    idx = OrderedIndex(t)
+    rows2 = t.insert(v[2:4])  # rows 2, 3
+    idx.insert(rows2[::-1])   # out-of-order insert: 3 then 2
+    rebuilt = OrderedIndex(t)
+    np.testing.assert_array_equal(idx.scan(), rebuilt.scan())
+    np.testing.assert_array_equal(idx.scan(), [0, 1, 2, 3])

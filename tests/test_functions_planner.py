@@ -199,3 +199,22 @@ def test_planner_pick_is_fastest_on_device():
     assert t_pick <= 2.0 * min(t_exact, t_hnsw), (
         f"planner picked {pick.kind} but exact={t_exact:.4f}s "
         f"hnsw={t_hnsw:.4f}s")
+
+
+def test_stored_to_user_cosine_clamps_but_keeps_inf():
+    """One canonical stored→user conversion (ops.metric.stored_to_user,
+    now delegated to by both AMs): cosine clamps rounding spill to [0, 2]
+    but +inf (absent result slots) must pass through unchanged."""
+    import jax.numpy as jnp
+
+    from pgvector_tpu.ops.metric import Metric, stored_to_user
+
+    stored = jnp.asarray([-1.0000002, 1.0000002, 0.5, jnp.inf], jnp.float32)
+    out = np.asarray(stored_to_user(Metric.COSINE, stored))
+    assert out[0] == 0.0 or abs(out[0]) < 1e-6
+    assert out[1] == 2.0
+    assert abs(out[2] - 1.5) < 1e-6
+    assert np.isinf(out[3])
+    l2 = np.asarray(stored_to_user(
+        Metric.L2, jnp.asarray([4.0, jnp.inf], jnp.float32)))
+    assert l2[0] == 2.0 and np.isinf(l2[1])

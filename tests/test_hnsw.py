@@ -431,3 +431,28 @@ def test_visited_hash2_insert_never_evicts():
     _, seen = K.visited_probe(table, jnp.asarray([[a, c]], jnp.int32))
     assert bool(seen[0, 0]), "A was evicted by B's stale-occupancy insert"
     assert bool(seen[0, 1])
+
+
+def test_l_unroll_env_clamped_and_bit_scan_bytes(monkeypatch):
+    """PGVECTOR_TPU_L_UNROLL clamps to the static L_MAX array depth (a
+    larger value would silently alias the top level's neighbor lists), and
+    the iterative-scan memory accounting uses the packed word width for
+    bit rows, not 4 bytes/dimension (a 32x overestimate that truncated
+    capped scans far too early)."""
+    from pgvector_tpu.index.hnsw import L_MAX
+
+    monkeypatch.setenv("PGVECTOR_TPU_L_UNROLL", "99")
+    t = DenseTable(4)
+    t.insert(np.zeros((4, 4), np.float32))
+    idx = HNSWIndex(t, Metric.L2, m=4, ef_construction=16, dedup=False)
+    assert idx._l_unroll == L_MAX
+    monkeypatch.delenv("PGVECTOR_TPU_L_UNROLL")
+
+    bt = BitTable(6400)
+    rng = np.random.default_rng(3)
+    bt.insert(rng.random((32, 6400)) > 0.5)
+    bidx = HNSWIndex(bt, Metric.HAMMING, m=4, ef_construction=16)
+    per_q = bidx._scan_bytes_per_query(ef=64)
+    # vector copy term: 64 slots x 200 words x 4 B = 51 KB, not 1.6 MB
+    assert per_q < 64 * (4 * bt.words + 9) + 4 * 1024 * 1024
+    assert per_q < 500_000

@@ -47,3 +47,32 @@ def test_bad_am():
     # an unknown AM still errors with the reference's message shape
     with pytest.raises(DataException, match='access method "gist" does not exist'):
         rel.create_index("gist", Metric.L2)
+
+
+def test_knn_exact_path_honors_filter_mask(rng):
+    """filter_mask must bind on EVERY planner path — the exact-scan branch
+    used to drop it silently (index paths always honored it)."""
+    db = rng.normal(size=(300, 8)).astype(np.float32)
+    rel = Relation(DenseTable(8))
+    rows = rel.insert(db)
+    mask = np.ones(rel.table.capacity, bool)
+    mask[rows[:150]] = False
+    # tiny table with no index → planner picks the exact scan
+    d, i = rel.knn(db[0], k=5, metric=Metric.L2, filter_mask=mask)
+    assert (i >= 150).all()
+    d2, i2 = rel.knn(db[0], k=5, metric=Metric.L2, use_index=False,
+                     filter_mask=mask)
+    assert (i2 >= 150).all()
+
+
+def test_default_metric_skips_btree_index(rng):
+    """A btree OrderedIndex carries no opclass metric; _default_metric must
+    skip it instead of raising AttributeError."""
+    db = rng.normal(size=(64, 4)).astype(np.float32)
+    rel = Relation(DenseTable(4))
+    rel.insert(db)
+    rel.create_index("btree")
+    d, i = rel.knn(db[0], k=3)  # falls back to L2
+    assert i[0, 0] == 0 if i.ndim == 2 else i[0] == 0
+    rel.create_index("hnsw", Metric.IP, m=4, ef_construction=16)
+    assert rel._default_metric() is Metric.IP

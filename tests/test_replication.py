@@ -131,3 +131,47 @@ def test_bf16_delta_roundtrip(tmp_path, rng):
         np.asarray(prim.data[:32]).astype(np.float32),
         np.asarray(repl.data[:32]).astype(np.float32),
     )
+
+
+def test_relation_wires_replication_log(tmp_path, rng):
+    """The documented primary-side wiring: rel.replication_log = log makes
+    insert/delete/vacuum append delta records a replica can replay."""
+    from pgvector_tpu.relation import Relation
+
+    db = rng.normal(size=(300, 6)).astype(np.float32)
+    rel = Relation(DenseTable(6))
+    base_rows = rel.insert(db[:200])
+    # replica bootstraps from the base
+    save_table(rel.table, str(tmp_path / "base"))
+    r_table = load_table(str(tmp_path / "base"))
+    rel.replication_log = ReplicationLog(str(tmp_path / "log"))
+    rel.insert(db[200:])
+    rel.delete(base_rows[:20])
+    rel.vacuum()
+    apply_deltas(r_table, [], str(tmp_path / "log"))
+    np.testing.assert_array_equal(np.asarray(rel.table.valid[:300]),
+                                  np.asarray(r_table.valid[:300]))
+    np.testing.assert_array_equal(np.asarray(rel.table.data[:300]),
+                                  np.asarray(r_table.data[:300]))
+
+
+def test_apply_deltas_rejects_gaps_and_log_resumes_past_gaps(tmp_path, rng):
+    """A missing delta must fail replay loudly (silent skip = divergent
+    replica that looks caught up), and a re-opened log must never re-issue
+    a sequence number that already exists past a gap."""
+    import shutil
+
+    from pgvector_tpu.errors import DataException
+
+    t = DenseTable(4)
+    log = ReplicationLog(str(tmp_path / "log"))
+    for j in range(3):
+        rows = t.insert(rng.normal(size=(4, 4)).astype(np.float32))
+        log.log_insert(t, rows)
+    shutil.rmtree(str(tmp_path / "log" / "delta_00000001"))
+    replica = DenseTable(4)
+    with pytest.raises(DataException, match="gap"):
+        apply_deltas(replica, [], str(tmp_path / "log"))
+    # seq resumes from max+1, not the entry count (which would collide)
+    log2 = ReplicationLog(str(tmp_path / "log"))
+    assert log2.seq == 3
