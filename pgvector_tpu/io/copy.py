@@ -22,17 +22,50 @@ from ..types import Bit, SparseVec, Vector
 _BIN_MAGIC = b"PGVTCOPY"
 
 
+def _check_dense_range(table: DenseTable, arr: np.ndarray) -> None:
+    """Values must survive narrowing to the table's storage dtype:
+    DenseTable.insert casts silently, so a 70000.0 loaded into a float16
+    table would store +inf and break the no-NaN/inf invariant halfvec_in
+    enforces (src/halfvec.c:90-102)."""
+    import jax.numpy as jnp
+
+    dt = np.dtype(jnp.dtype(table.dtype))
+    if dt.itemsize != 2:
+        return
+    with np.errstate(over="ignore"):
+        narrowed = np.asarray(arr).astype(dt).astype(np.float32)
+    bad = np.isinf(narrowed) & np.isfinite(np.asarray(arr, np.float32))
+    if bad.any():
+        r, c = np.argwhere(bad)[0]
+        from ..errors import NumericValueOutOfRange
+
+        raise NumericValueOutOfRange(
+            f'"{float(arr[r, c])}" is out of range for type halfvec')
+
+
 def copy_in_text(table, lines: Iterable[str]) -> np.ndarray:
     """Bulk insert from text literals.  Returns row ids."""
     lines = [l.strip() for l in lines if l.strip()]
     if isinstance(table, DenseTable):
         arr = native.parse_vectors(lines, expected_dim=table.dim)
+        _check_dense_range(table, arr)
         return table.insert(arr)
     if isinstance(table, SparseTable):
         return table.insert([SparseVec.from_text(l) for l in lines])
     if isinstance(table, BitTable):
         return table.insert([Bit.from_text(l) for l in lines])
     raise DataException(f"cannot COPY into {type(table).__name__}")
+
+
+def _bulk_sparse(table: SparseTable, live: np.ndarray):
+    """Yield live rows as SparseVecs from TWO device→host transfers —
+    table.get() per row costs two tiny transfers each (minutes of chatter
+    at 1M rows)."""
+    idx = np.asarray(table.idx[: table.count])[live]
+    val = np.asarray(table.val[: table.count])[live]
+    for ri, rv in zip(idx, val):
+        m = ri < table.pad_index
+        yield SparseVec(table.dim, ri[m], rv[m], _checked=True)
 
 
 def copy_out_text(table) -> List[str]:
@@ -44,7 +77,7 @@ def copy_out_text(table) -> List[str]:
         data = np.asarray(table.data[: table.count]).astype(np.float32)[live]
         return native.format_vectors(data)
     if isinstance(table, SparseTable):
-        return [table.get(int(r)).to_text() for r in live]
+        return [sv.to_text() for sv in _bulk_sparse(table, live)]
     if isinstance(table, BitTable):
         from ..index.ivfflat import _unpack_words
         import jax.numpy as jnp
@@ -63,7 +96,7 @@ def copy_out_binary(table) -> bytes:
         body = native.encode_binary(data)
         kind = b"V"
     elif isinstance(table, SparseTable):
-        body = b"".join(table.get(int(r)).to_binary() for r in live)
+        body = b"".join(sv.to_binary() for sv in _bulk_sparse(table, live))
         kind = b"S"
     elif isinstance(table, BitTable):
         from ..index.ivfflat import _unpack_words
@@ -95,6 +128,8 @@ def copy_in_binary(table, data: bytes) -> np.ndarray:
             raise DataException(
                 f"expected {table.dim} dimensions, not {arr.shape[1]}"
             )
+        if count:
+            _check_dense_range(table, arr)
         return table.insert(arr) if count else np.zeros(0, np.int32)
     if kind == b"S":
         vals = []

@@ -42,6 +42,7 @@ _ERRORS = {
     5: (DataException, "dimension mismatch"),
     6: (ProgramLimitExceeded, "vector cannot have more than 16000 dimensions"),
     7: (DataException, "vector must have at least 1 dimension"),
+    8: (DataException, "insufficient data left in message"),
 }
 
 
@@ -86,7 +87,7 @@ def load() -> Optional[ctypes.CDLL]:
     ]
     lib.pgv_decode_binary.restype = ctypes.c_int
     lib.pgv_decode_binary.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
     ]
     _lib = lib
@@ -101,6 +102,10 @@ def parse_vectors(lits: List[str], expected_dim: int = -1,
                   max_dim: int = 16000) -> np.ndarray:
     """Bulk ``[a,b,...]`` parse → (count, dim) float32.  Native when
     possible, Python fallback otherwise."""
+    if not lits:
+        # the C path's dim return can't distinguish "no rows" from its
+        # expected_dim initializer; short-circuit here
+        return np.zeros((0, max(expected_dim, 0)), np.float32)
     lib = load()
     if lib is None:
         from ..types import Vector
@@ -196,12 +201,15 @@ def decode_binary(data: bytes, count: int) -> np.ndarray:
             out.append(Vector.from_binary(data[off: off + rowlen]).x)
             off += rowlen
         return np.stack(out) if out else np.zeros((0, 0), np.float32)
+    if len(data) < 2:
+        raise DataException("insufficient data left in message")
     dim0 = int.from_bytes(data[0:2], "big")
     out = np.zeros((count, dim0), np.float32)
     bad = ctypes.c_int64(-1)
     buf = np.frombuffer(data, dtype=np.uint8)
     rc = lib.pgv_decode_binary(
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), count,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data), count,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), ctypes.byref(bad),
     )
     if rc < 0:

@@ -31,6 +31,7 @@ enum {
     PGV_ERR_DIM_MISMATCH = 5,  // row dim != expected
     PGV_ERR_TOO_MANY_DIMS = 6, // > max_dim
     PGV_ERR_EMPTY = 7,         // zero dimensions
+    PGV_ERR_TRUNCATED = 8,     // binary buffer shorter than its rows claim
 };
 
 static inline const char *skip_space(const char *p) {
@@ -156,11 +157,15 @@ int64_t pgv_encode_binary(const float *data, int64_t count, int dim,
 }
 
 // Decode `count` rows of the binary wire format; returns dim or -errcode.
-int pgv_decode_binary(const uint8_t *buf, int64_t count, float *out,
-                      int64_t *bad_row) {
+// Every read is bounded by `buf_len` — wire data is untrusted, and an
+// unbounded walk past a truncated/corrupt buffer is an out-of-bounds read.
+int pgv_decode_binary(const uint8_t *buf, int64_t buf_len, int64_t count,
+                      float *out, int64_t *bad_row) {
     const uint8_t *p = buf;
+    const uint8_t *end = buf + buf_len;
     int dim = -1;
     for (int64_t i = 0; i < count; i++) {
+        if (p + 4 > end) { *bad_row = i; return -PGV_ERR_TRUNCATED; }
         uint16_t d_be, z_be;
         memcpy(&d_be, p, 2); p += 2;
         memcpy(&z_be, p, 2); p += 2;
@@ -168,6 +173,10 @@ int pgv_decode_binary(const uint8_t *buf, int64_t count, float *out,
         if (bswap16(z_be) != 0 || d < 1) { *bad_row = i; return -PGV_ERR_SYNTAX; }
         if (dim < 0) dim = d;
         if (d != dim) { *bad_row = i; return -PGV_ERR_DIM_MISMATCH; }
+        if (p + (int64_t)4 * dim > end) {
+            *bad_row = i;
+            return -PGV_ERR_TRUNCATED;
+        }
         for (int j = 0; j < dim; j++) {
             uint32_t bits;
             memcpy(&bits, p, 4); p += 4;

@@ -37,7 +37,13 @@ def exact_rerank(
     k: int,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Re-score candidates with the exact operator distance and keep the
-    best k (the outer ORDER BY of the re-rank CTE, README.md:600-607)."""
+    best k (the outer ORDER BY of the re-rank CTE, README.md:600-607).
+
+    Zero-norm rows (or a zero query) under COSINE score +inf and are
+    emitted as absent slots (-1/inf) — the framework-wide convention for
+    "no defined distance", consistent with FlatIndex and with cosine
+    indexes skipping zero vectors; the reference's exact scan would
+    instead order those rows last with NaN distances."""
     qs = _coerce_dense_queries(q, table.dim)
     cand = jnp.asarray(np.asarray(candidate_ids, np.int32))
     safe = jnp.maximum(cand, 0)
@@ -153,8 +159,13 @@ class ExpressionIndex:
         qs = np.asarray(_coerce_dense_queries(q, self.table.dim))
         qv = np.asarray(self.qexpr(qs))
         fetch = max(k * self.rerank_factor, k) if self.rerank else k
+        # derived ef must stay inside the hnsw.ef_search GUC range (1..1000,
+        # validated by HNSWIndex.search) — k=251 at rerank_factor=4 would
+        # otherwise derive ef 1004 and raise; an EXPLICIT out-of-range
+        # ef_search still errors like any SET would
         d, cand = self.index.search(qv, fetch,
-                                    ef_search=ef_search or max(fetch, 40))
+                                    ef_search=ef_search
+                                    or min(max(fetch, 40), 1000))
         # shadow rows → source rows (also drops shadows of deleted sources)
         safe = np.maximum(cand, 0)
         src = np.where(cand >= 0, self._src_of_shadow[safe], -1)

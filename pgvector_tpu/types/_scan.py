@@ -26,8 +26,11 @@ _NUM_RE = re.compile(
     r"""
     [+-]?
     (?:
-        (?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?   # decimal
-      | 0[xX][0-9a-fA-F]+(?:\.[0-9a-fA-F]*)?(?:[pP][+-]?\d+)?  # hex float
+        # hex float FIRST: regex alternation is ordered, so the decimal
+        # branch would otherwise claim the leading '0' of '0x1p+1' and
+        # leave the rest as junk
+        0[xX][0-9a-fA-F]+(?:\.[0-9a-fA-F]*)?(?:[pP][+-]?\d+)?  # hex float
+      | (?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?   # decimal
       | [iI][nN][fF](?:[iI][nN][iI][tT][yY])?  # inf / infinity
       | [nN][aA][nN]                           # nan
     )

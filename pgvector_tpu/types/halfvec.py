@@ -79,11 +79,15 @@ class HalfVec:
     # -- binary I/O (halfvec_recv/send — src/halfvec.c:382-423) -----------
     @classmethod
     def from_binary(cls, data: bytes, typmod: int = -1) -> "HalfVec":
+        if len(data) < 4:
+            raise DataException("insufficient data")
         dim, unused = struct.unpack_from(">hh", data, 0)
         _check_dim(dim, cls.type_name, cls.max_dim)
         _check_expected_dim(typmod, dim)
         if unused != 0:
             raise DataException(f"expected unused to be 0, not {unused}")
+        if len(data) < 4 + 2 * dim:
+            raise DataException("insufficient data left in message")
         arr = np.frombuffer(data, dtype=">f2", count=dim, offset=4).astype(np.float16)
         return cls(arr)
 
@@ -156,8 +160,6 @@ class HalfVec:
     def _narrow_back(self, rx32: np.ndarray) -> "HalfVec":
         with np.errstate(over="ignore"):
             rx = rx32.astype(np.float16)
-        if np.isinf(rx).any() and not np.isinf(rx32).any():
-            raise NumericValueOutOfRange(_OVERFLOW)
         if np.isinf(rx).any():
             raise NumericValueOutOfRange(_OVERFLOW)
         return HalfVec(rx, _checked=True)
@@ -223,7 +225,9 @@ class HalfVec:
     def __gt__(self, o): return self.compare(o) > 0
 
     def __hash__(self) -> int:
-        return hash((self.type_name, self.x.tobytes()))
+        # x + 0.0 maps -0.0 to +0.0: __eq__ treats them equal (float
+        # compare), so their hashes must match too
+        return hash((self.type_name, (self.x + 0.0).tobytes()))
 
     def __repr__(self) -> str:
         return f"HalfVec({self.to_text()!r})"

@@ -110,6 +110,8 @@ class Vector:
         _check_expected_dim(typmod, dim)
         if unused != 0:
             raise DataException(f"expected unused to be 0, not {unused}")
+        if len(data) < 4 + 4 * dim:
+            raise DataException("insufficient data left in message")
         arr = np.frombuffer(data, dtype=">f4", count=dim, offset=4).astype(np.float32)
         return cls(arr)
 
@@ -257,7 +259,9 @@ class Vector:
     def __gt__(self, o): return self.compare(o) > 0
 
     def __hash__(self) -> int:
-        return hash((self.type_name, self.x.tobytes()))
+        # x + 0.0 maps -0.0 to +0.0: __eq__ treats them equal (float
+        # compare), so their hashes must match too
+        return hash((self.type_name, (self.x + 0.0).tobytes()))
 
     def __repr__(self) -> str:
         return f"{type(self).__name__}({self.to_text()!r})"

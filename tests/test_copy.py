@@ -69,3 +69,19 @@ def test_bulk_load_speed(rng):
     copy_in_text(t, lines)
     assert time.time() - t0 < 5.0
     assert t.count == 10000
+
+
+def test_copy_into_f16_table_enforces_halfvec_range():
+    """A literal finite in f32 but infinite after narrowing to a 16-bit
+    table dtype must error like halfvec_in, not silently store +inf."""
+    import jax.numpy as jnp
+
+    from pgvector_tpu.errors import NumericValueOutOfRange
+
+    t = DenseTable(2, dtype=jnp.float16)
+    with pytest.raises(NumericValueOutOfRange, match="halfvec"):
+        copy_in_text(t, ["[70000,1]"])
+    # bf16 shares f32's exponent range: same literal loads fine
+    t2 = DenseTable(2, dtype=jnp.bfloat16)
+    rows = copy_in_text(t2, ["[70000,1]"])
+    assert len(rows) == 1

@@ -90,3 +90,16 @@ def test_compare():
     assert HalfVec([1, 2]) < HalfVec([1, 3])
     assert HalfVec([1, 2]) == HalfVec.from_text("[1,2]")
     assert HalfVec([1, 2]) < HalfVec([1, 2, 0])
+
+
+def test_halfvec_hash_eq_and_truncated_binary():
+    import struct
+
+    from pgvector_tpu.errors import DataException
+
+    a, b = HalfVec([0.0]), HalfVec([-0.0])
+    assert a == b and hash(a) == hash(b)
+    with pytest.raises(DataException):
+        HalfVec.from_binary(b"\x00")
+    with pytest.raises(DataException):
+        HalfVec.from_binary(struct.pack(">hh", 5, 0) + b"\x00" * 4)

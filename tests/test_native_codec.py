@@ -64,3 +64,35 @@ def test_roundtrip_through_text(rng):
     arr = rng.normal(size=(50, 4)).astype(np.float32)
     again = native.parse_vectors(native.format_vectors(arr))
     assert np.array_equal(again, arr)
+
+
+def test_decode_binary_bounds_truncated_input():
+    """Wire data is untrusted: truncated or count-inflated binary input
+    raises DataException instead of reading past the buffer (the C decode
+    used to walk count*(4+4*dim) bytes unconditionally)."""
+    from pgvector_tpu.errors import DataException
+
+    a = native.parse_vectors(["[1,2,3]", "[4,5,6]"])
+    enc = native.encode_binary(a)
+    np.testing.assert_array_equal(native.decode_binary(enc, 2), a)
+    for cut in (0, 1, 3, 5, len(enc) - 1):
+        with pytest.raises(DataException):
+            native.decode_binary(enc[:cut], 2)
+    with pytest.raises(DataException):
+        native.decode_binary(enc, 1000)
+
+
+def test_parse_vectors_empty_returns_empty():
+    assert native.parse_vectors([]).shape == (0, 0)
+    assert native.parse_vectors([], expected_dim=5).shape == (0, 5)
+
+
+def test_hex_float_literals_parse_like_strtof():
+    """'0x1p+1' is one strtof token (2.0) — the decimal regex branch used
+    to claim the leading '0' and error on the rest, diverging from the
+    native codec's real strtof."""
+    assert Vector.from_text("[0x1p+1]").x[0] == 2.0
+    assert Vector.from_text("[0xA]").x[0] == 10.0
+    if native.available():
+        got = native.parse_vectors(["[0x1p+1,0xA]"])
+        np.testing.assert_array_equal(got[0], [2.0, 10.0])

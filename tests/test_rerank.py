@@ -147,3 +147,17 @@ def test_no_rerank_single_search_masks_deleted(data):
     assert not np.isin(r, rows[:50]).any()
     assert np.isinf(d[r == -1]).all() if (r == -1).any() else True
     assert np.isfinite(d[r >= 0]).all()
+
+
+def test_rerank_large_k_derives_in_range_ef(data):
+    """k=251 at rerank_factor=4 derives fetch=1004; the derived ef_search
+    must clamp into the GUC range (1..1000) instead of raising."""
+    db, q = data
+    table = DenseTable(db.shape[1])
+    table.insert(db)
+    from pgvector_tpu.rerank import BinaryQuantizedIndex
+
+    bq = BinaryQuantizedIndex(table, Metric.L2, m=8, ef_construction=32)
+    d, r = bq.search(q[:2], 251)
+    assert r.shape == (2, 251)
+    assert (r[:, 0] >= 0).all()

@@ -222,3 +222,21 @@ def test_agg_combine_parallel_safe():
     s2.accum(Vector([5, 9]))
     s1.combine(s2)
     assert s1.avg().to_text() == "[3,5]"
+
+
+def test_hash_eq_contract_negative_zero():
+    """+0.0 and -0.0 vectors compare equal, so they must hash equal."""
+    a, b = Vector([0.0, 1.0]), Vector([-0.0, 1.0])
+    assert a == b and hash(a) == hash(b)
+    assert len({a, b}) == 1
+
+
+def test_from_binary_truncated_raises_data_exception():
+    import struct
+
+    from pgvector_tpu.errors import DataException
+
+    with pytest.raises(DataException):
+        Vector.from_binary(b"\x00")
+    with pytest.raises(DataException):  # header claims 5 floats, body has 2
+        Vector.from_binary(struct.pack(">hh", 5, 0) + b"\x00" * 8)
