@@ -26,6 +26,10 @@ from ..ops import distance as D
 from ..ops.metric import Metric
 from ..ops.topk import merge_topk, topk_smallest
 
+#: transient budget for the DeviceSharded IVF candidate re-score — bounds
+#: the per-chunk (Q, cc, D) f32 gather each shard materializes
+SEARCH_CHUNK_BYTES = 2**29
+
 # ---------------------------------------------------------------------------
 # sharded exact search — per-shard partial top-k + ICI merge
 # ---------------------------------------------------------------------------
@@ -807,7 +811,7 @@ class DeviceShardedIVFFlatIndex:
             qn = qs.shape[0]
             C = cand_all.shape[1]
             dim = data.shape[1]
-            cc = min(C, max(64, 2**29 // max(1, qn * dim * 4)))
+            cc = min(C, max(64, SEARCH_CHUNK_BYTES // max(1, qn * dim * 4)))
             d = jnp.full((qn, k), jnp.inf, jnp.float32)
             i = jnp.full((qn, k), -1, jnp.int32)
             for s0 in range(0, C, cc):

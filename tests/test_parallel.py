@@ -245,3 +245,30 @@ def test_sharded_wrappers_bit_and_sparse(rng):
                            ef_construction=32, wave_size=128, seed=1)
     d, i = shs.search([svs[5]], 5)
     assert int(i[0, 0]) == 5 and d[0, 0] <= 1e-5
+
+
+def test_device_sharded_ivf_chunked_rescore_matches(mesh, rng):
+    """The per-shard candidate re-score streams bounded chunks (the padded
+    (Q, probes*cap, D) gather OOMs under k-means skew); a tiny chunk budget
+    must not change results."""
+    from pgvector_tpu.parallel import sharded as sh
+
+    db = rng.normal(size=(2000, 16)).astype(np.float32)
+    q = rng.normal(size=(6, 16)).astype(np.float32)
+    table = DenseTable(16)
+    table.insert(db)
+    idx = sh.DeviceShardedIVFFlatIndex(mesh, table, Metric.L2, lists=16,
+                                       seed=2)
+    d1, r1 = idx.search(q, 10, probes=16)
+    old = sh.SEARCH_CHUNK_BYTES
+    try:
+        sh.SEARCH_CHUNK_BYTES = 4096  # forces many chunks at (6, 16)
+        idx._search_cache.clear()
+        d2, r2 = idx.search(q, 10, probes=16)
+    finally:
+        sh.SEARCH_CHUNK_BYTES = old
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+    # full probes = exhaustive: agree with exact search
+    e_d, e_i = FlatIndex(table, Metric.L2).search(q, 10)
+    np.testing.assert_allclose(d1, e_d, rtol=1e-4, atol=1e-4)
