@@ -134,7 +134,8 @@ class OrderedIndex:
             # different order than a rebuilt one
             lo = self._bisect(key, side="left")
             hi = self._bisect(key, side="right")
-            pos = lo + bisect.bisect_right(self._rows, int(r), lo, hi)
+            # bisect with lo/hi bounds returns an ABSOLUTE position
+            pos = bisect.bisect_right(self._rows, int(r), lo, hi)
             self._keys.insert(pos, key)
             self._rows.insert(pos, int(r))
 

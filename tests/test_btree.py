@@ -146,3 +146,16 @@ def test_insert_duplicate_scan_order_matches_rebuild():
     rebuilt = OrderedIndex(t)
     np.testing.assert_array_equal(idx.scan(), rebuilt.scan())
     np.testing.assert_array_equal(idx.scan(), [0, 1, 2, 3])
+
+
+def test_insert_position_with_preceding_keys():
+    """Inserts into a run that does NOT start at position 0: bisect with
+    lo/hi bounds returns an absolute index, and insert() once added lo on
+    top of it, landing every such insert past its key run."""
+    t = DenseTable(2)
+    t.insert(np.float32([[0.0, 0.0], [0.5, 0.5], [1.0, 2.0], [9.0, 9.0]]))
+    idx = OrderedIndex(t)
+    rows2 = t.insert(np.float32([[1.0, 2.0], [0.7, 0.0], [3.0, 3.0]]))
+    idx.insert(rows2)
+    np.testing.assert_array_equal(idx.scan(), OrderedIndex(t).scan())
+    np.testing.assert_array_equal(idx.scan(), [0, 1, 5, 2, 4, 6, 3])

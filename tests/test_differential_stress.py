@@ -194,3 +194,40 @@ def test_sparse_hnsw_mutation_sequence():
     denom = sum((b >= 0).sum() for b in e_i)
     assert hits / max(denom, 1) >= 0.85
     assert not np.isin(r, np.flatnonzero(~live)).any()
+
+
+def test_btree_mutation_sequence_vs_oracle():
+    """OrderedIndex under random insert/delete/vacuum churn must stay
+    byte-for-byte equal to a rebuild (scan order, equality and range
+    results) — the incremental bisect path has its own placement logic
+    and is where an off-by-lo once landed every insert past its key run."""
+    from pgvector_tpu.index.btree import OrderedIndex
+
+    rng = np.random.default_rng(107)
+    # small value alphabet → plenty of duplicate keys (the tie-order path)
+    vocab = rng.normal(size=(40, 3)).astype(np.float32)
+    table = DenseTable(3)
+    db = vocab[rng.integers(0, len(vocab), size=300)]
+    table.insert(db[:120])
+    idx = OrderedIndex(table)
+    inserted = 120
+    while inserted < len(db):
+        step = int(rng.integers(20, 60))
+        rows = table.insert(db[inserted: inserted + step])
+        # shuffled insert order stresses within-run row-id placement
+        idx.insert(rng.permutation(rows))
+        inserted += step
+        live_ids = np.flatnonzero(np.asarray(table.valid[: table.count]))
+        kill = rng.choice(live_ids, size=len(live_ids) // 8, replace=False)
+        table.delete(kill)
+        if rng.random() < 0.5:
+            idx.vacuum()  # sometimes rely on scan-time filtering instead
+        rebuilt = OrderedIndex(table)
+        np.testing.assert_array_equal(idx.scan(), rebuilt.scan())
+        probe = vocab[int(rng.integers(0, len(vocab)))]
+        np.testing.assert_array_equal(idx.search_eq(probe),
+                                      rebuilt.search_eq(probe))
+        lo, hi = sorted([vocab[int(rng.integers(0, len(vocab)))],
+                         probe], key=lambda v: tuple(v))
+        np.testing.assert_array_equal(idx.search_range(lo=lo, hi=hi),
+                                      rebuilt.search_range(lo=lo, hi=hi))
