@@ -6,9 +6,14 @@ Vectors/postings shard across a ``jax.sharding.Mesh``; queries replicate
 via ICI all-gather; each shard computes a partial top-k and the results
 merge with a cross-shard reduction — the library analogue of "shard the
 table with Citus, run the same index on every shard, merge the ORDER BY".
+
+For read throughput, a 2-D ``(shard × qp)`` mesh (``make_mesh2``) adds
+query fan-out: the index replicates over the ``qp`` axis and each replica
+column answers its slice of the batch — the analogue of scaling reads by
+adding backends/streaming replicas (test/t/001, test/t/016).
 """
 
-from .mesh import make_mesh, shard_rows
+from .mesh import make_mesh, make_mesh2, shard_rows
 from .sharded import (
     sharded_exact_search,
     sharded_kmeans_step,
@@ -22,6 +27,7 @@ from .sharded import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh2",
     "shard_rows",
     "sharded_exact_search",
     "sharded_kmeans_step",

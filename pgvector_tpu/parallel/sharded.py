@@ -437,15 +437,26 @@ class DeviceShardedHNSWIndex:
     works sharded: ``insert`` routes new rows to the least-loaded shard,
     ``vacuum`` propagates deletes and repairs every shard's graph, and
     ``save``/``load`` checkpoint shard-by-shard (replication as state
-    transfer, test/t/001 methodology)."""
+    transfer, test/t/001 methodology).
+
+    On a 2-D mesh (``make_mesh2``) pass ``qaxis`` to ALSO data-parallelize
+    the query batch: the graph replicates over ``qaxis`` (XLA places one
+    copy per replica column) and each replica searches its slice of the
+    batch — per-query work is unchanged, so read QPS scales with replicas.
+    This is the reference's scale-reads-by-adding-backends/replicas story
+    (pgbench clients in test/t/016; streaming replicas in test/t/001)."""
 
     def __init__(self, mesh: Mesh, table, metric: Metric, axis: str = "shard",
                  m: int = 16, ef_construction: int = 64, seed: int = 0,
+                 qaxis: Optional[str] = None,
                  _defer_build: bool = False, **kw):
         from ..index.hnsw import HEAPTIDS, HNSWIndex
 
         self.mesh = mesh
         self.axis = axis
+        if qaxis is not None and qaxis not in mesh.axis_names:
+            raise ValueError(f"mesh has no axis {qaxis!r}")
+        self.qaxis = qaxis
         self.metric = metric
         self.m = m
         self.ef_construction = ef_construction
@@ -553,7 +564,8 @@ class DeviceShardedHNSWIndex:
                        "seed": self.seed}, f)
 
     @classmethod
-    def load(cls, mesh: Mesh, table, path: str, axis: str = "shard"):
+    def load(cls, mesh: Mesh, table, path: str, axis: str = "shard",
+             qaxis: Optional[str] = None):
         import json
         import os
 
@@ -567,7 +579,7 @@ class DeviceShardedHNSWIndex:
             raise DataException("expected a sharded_hnsw checkpoint")
         self = cls(mesh, table, Metric[man["metric"]], axis=axis,
                    m=man["m"], ef_construction=man["ef_construction"],
-                   seed=man["seed"], _defer_build=True)
+                   seed=man["seed"], qaxis=qaxis, _defer_build=True)
         self.shards, self.subs, self.g_rows = [], [], []
         for j in range(man["n_shards"]):
             sub = ckpt.load_table(os.path.join(path, f"shard{j}_table"))
@@ -607,15 +619,18 @@ class DeviceShardedHNSWIndex:
             return md, jnp.where(jnp.isinf(md), -1, mi)
 
         sharded = [P(axis, *([None] * (v.ndim - 1))) for v in self.values]
+        qspec = P(self.qaxis, None) if self.qaxis else P(None, None)
         in_specs = tuple(sharded) + (
             P(axis, None), P(axis, None, None), P(axis, None),
             P(axis, None), P(axis), P(axis),
-            P(None), P(None), P(None, None),
+            P(None), P(None), qspec,
         )
         fn = jax.shard_map(
             shard_fn, mesh=self.mesh, in_specs=in_specs,
-            out_specs=(P(None, None), P(None, None)),
-            check_vma=False,  # all_gather merge replicates the outputs
+            # without qaxis the all_gather merge replicates the outputs;
+            # with it each replica column owns its query slice
+            out_specs=(qspec, qspec),
+            check_vma=False,
         )
         return jax.jit(fn)
 
@@ -633,6 +648,10 @@ class DeviceShardedHNSWIndex:
         key = (ef, k, expand)
         if key not in self._search_cache:
             self._search_cache[key] = self._make_search(ef, k, expand)
+        qn = qs.shape[0]
+        rep = self.mesh.shape[self.qaxis] if self.qaxis else 1
+        if qn % rep:  # query batch must split evenly over the replica axis
+            qs = jnp.pad(qs, ((0, (-qn) % rep), (0, 0)))
         row_valid = self.table.valid
         fmask = jnp.ones(self.table.capacity, jnp.bool_)
         d, r = self._search_cache[key](
@@ -644,7 +663,7 @@ class DeviceShardedHNSWIndex:
             d = jnp.where(jnp.isinf(d), d, jnp.sqrt(jnp.maximum(d, 0.0)))
         elif self.metric is Metric.COSINE:
             d = jnp.where(jnp.isinf(d), d, 1.0 + d)
-        return np.asarray(d), np.asarray(r)
+        return np.asarray(d)[:qn], np.asarray(r)[:qn]
 
 
 class DeviceShardedIVFFlatIndex:
@@ -653,15 +672,21 @@ class DeviceShardedIVFFlatIndex:
     query batch (probe order → candidate gather → score → local top-k →
     all_gather merge).  Centers are trained per shard (the Citus pattern:
     every shard runs its own CREATE INDEX).  Shards build concurrently;
-    insert/vacuum/save/load run the full lifecycle sharded."""
+    insert/vacuum/save/load run the full lifecycle sharded.  On a 2-D mesh
+    (``make_mesh2``) ``qaxis`` splits the query batch over replica columns
+    (see DeviceShardedHNSWIndex)."""
 
     def __init__(self, mesh: Mesh, table, metric: Metric, axis: str = "shard",
-                 lists: int = 100, seed: int = 0, _defer_build: bool = False,
+                 lists: int = 100, seed: int = 0, qaxis: Optional[str] = None,
+                 _defer_build: bool = False,
                  **kw):
         from ..index.ivfflat import IVFFlatIndex
 
         self.mesh = mesh
         self.axis = axis
+        if qaxis is not None and qaxis not in mesh.axis_names:
+            raise ValueError(f"mesh has no axis {qaxis!r}")
+        self.qaxis = qaxis
         self.metric = metric
         self.lists = lists
         self.seed = seed
@@ -735,7 +760,8 @@ class DeviceShardedIVFFlatIndex:
                        "seed": self.seed}, f)
 
     @classmethod
-    def load(cls, mesh: Mesh, table, path: str, axis: str = "shard"):
+    def load(cls, mesh: Mesh, table, path: str, axis: str = "shard",
+             qaxis: Optional[str] = None):
         import json
         import os
 
@@ -748,7 +774,8 @@ class DeviceShardedIVFFlatIndex:
 
             raise DataException("expected a sharded_ivfflat checkpoint")
         self = cls(mesh, table, Metric[man["metric"]], axis=axis,
-                   lists=man["lists"], seed=man["seed"], _defer_build=True)
+                   lists=man["lists"], seed=man["seed"], qaxis=qaxis,
+                   _defer_build=True)
         self.shards, self.subs, self.g_rows = [], [], []
         for j in range(man["n_shards"]):
             sub = ckpt.load_table(os.path.join(path, f"shard{j}_table"))
@@ -826,12 +853,13 @@ class DeviceShardedIVFFlatIndex:
             md, mi = topk_smallest(all_d, k, ids=all_i)
             return md, jnp.where(jnp.isinf(md), -1, mi)
 
+        qspec = P(self.qaxis, None) if self.qaxis else P(None, None)
         fn = jax.shard_map(
             shard_fn, mesh=self.mesh,
             in_specs=(P(axis, None, None), P(axis, None, None),
                       P(axis, None, None), P(axis, None),
-                      P(None), P(None), P(None, None)),
-            out_specs=(P(None, None), P(None, None)),
+                      P(None), P(None), qspec),
+            out_specs=(qspec, qspec),
             check_vma=False,
         )
         return jax.jit(fn)
@@ -850,6 +878,10 @@ class DeviceShardedIVFFlatIndex:
         key = (probes, k)
         if key not in self._search_cache:
             self._search_cache[key] = self._make_search(probes, k)
+        qn = qs.shape[0]
+        rep = self.mesh.shape[self.qaxis] if self.qaxis else 1
+        if qn % rep:  # query batch must split evenly over the replica axis
+            qs = jnp.pad(qs, ((0, (-qn) % rep), (0, 0)))
         row_valid = self.table.valid
         fmask = jnp.ones(self.table.capacity, jnp.bool_)
         d, r = self._search_cache[key](
@@ -860,4 +892,4 @@ class DeviceShardedIVFFlatIndex:
             d = jnp.where(jnp.isinf(d), d, jnp.sqrt(jnp.maximum(d, 0.0)))
         elif self.metric is Metric.COSINE:
             d = jnp.where(jnp.isinf(d), d, 1.0 + d)
-        return np.asarray(d), np.asarray(r)
+        return np.asarray(d)[:qn], np.asarray(r)[:qn]

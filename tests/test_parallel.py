@@ -272,3 +272,79 @@ def test_device_sharded_ivf_chunked_rescore_matches(mesh, rng):
     # full probes = exhaustive: agree with exact search
     e_d, e_i = FlatIndex(table, Metric.L2).search(q, 10)
     np.testing.assert_allclose(d1, e_d, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (row-shard × query-replica) fan-out — the serving topology
+# ---------------------------------------------------------------------------
+
+
+def test_hnsw_query_fanout_matches_1d(rng):
+    """A (2 shards × 4 query-replica) mesh must return exactly what the
+    same 2-shard index returns with replicated queries: per-query work is
+    identical, only the batch placement changes."""
+    from pgvector_tpu.parallel import (DeviceShardedHNSWIndex, make_mesh2)
+    from jax.sharding import Mesh
+
+    db = rng.normal(size=(1200, 12)).astype(np.float32)
+    q = rng.normal(size=(16, 12)).astype(np.float32)
+    table = DenseTable(12)
+    table.insert(db)
+    kw = dict(m=8, ef_construction=32, wave_size=256, dedup=False, seed=3)
+    m1 = Mesh(np.array(jax.devices()[:2]), ("shard",))
+    base = DeviceShardedHNSWIndex(m1, table, Metric.L2, **kw)
+    m2 = make_mesh2(2, 4)
+    fan = DeviceShardedHNSWIndex(m2, table, Metric.L2, qaxis="qp", **kw)
+    d1, r1 = base.search(q, 10, ef_search=60)
+    d2, r2 = fan.search(q, 10, ef_search=60)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6, atol=1e-6)
+
+
+def test_hnsw_pure_replication_matches_single_chip(rng):
+    """shard=1 × replica=8 is pure index replication: every device holds
+    the full graph and answers its slice of the batch — results equal the
+    single-chip index bit-for-bit (same build seed → same graph)."""
+    from pgvector_tpu.index.hnsw import HNSWIndex
+    from pgvector_tpu.parallel import DeviceShardedHNSWIndex, make_mesh2
+
+    db = rng.normal(size=(900, 10)).astype(np.float32)
+    q = rng.normal(size=(13, 10)).astype(np.float32)  # 13 % 8 != 0: pad path
+    table = DenseTable(10)
+    table.insert(db)
+    kw = dict(m=8, ef_construction=32, wave_size=256, dedup=False, seed=5)
+    single = HNSWIndex(table, Metric.L2, **kw)
+    rep = DeviceShardedHNSWIndex(make_mesh2(1, 8), table, Metric.L2,
+                                 qaxis="qp", **kw)
+    d1, r1 = single.search(q, 10, ef_search=60)
+    d2, r2 = rep.search(q, 10, ef_search=60)
+    np.testing.assert_array_equal(np.asarray(r1), r2)
+    np.testing.assert_allclose(np.asarray(d1), d2, rtol=1e-6, atol=1e-6)
+
+
+def test_ivf_query_fanout_matches_1d(rng):
+    from pgvector_tpu.parallel import DeviceShardedIVFFlatIndex, make_mesh2
+    from jax.sharding import Mesh
+
+    db = rng.normal(size=(1500, 8)).astype(np.float32)
+    q = rng.normal(size=(11, 8)).astype(np.float32)  # 11 % 4 != 0: pad path
+    table = DenseTable(8)
+    table.insert(db)
+    m1 = Mesh(np.array(jax.devices()[:2]), ("shard",))
+    base = DeviceShardedIVFFlatIndex(m1, table, Metric.L2, lists=8, seed=1)
+    fan = DeviceShardedIVFFlatIndex(make_mesh2(2, 4), table, Metric.L2,
+                                    lists=8, seed=1, qaxis="qp")
+    d1, r1 = base.search(q, 10, probes=4)
+    d2, r2 = fan.search(q, 10, probes=4)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6, atol=1e-6)
+
+
+def test_fanout_rejects_unknown_qaxis(rng):
+    from pgvector_tpu.parallel import DeviceShardedHNSWIndex, make_mesh
+
+    table = DenseTable(4)
+    table.insert(rng.normal(size=(32, 4)).astype(np.float32))
+    with pytest.raises(ValueError, match="no axis"):
+        DeviceShardedHNSWIndex(make_mesh(2), table, Metric.L2, qaxis="qp",
+                               m=4, ef_construction=16, wave_size=32)
