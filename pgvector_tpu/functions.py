@@ -21,7 +21,8 @@ SQL                       here
 ``subvector``             :func:`subvector`
 ``avg`` / ``sum``         :func:`avg` / :func:`sum_`  (aggregates)
 casts                     :func:`to_vector` / :func:`to_halfvec` /
-                          :func:`to_sparsevec` / :func:`to_bit`
+                          :func:`to_sparsevec` / :func:`to_bit` /
+                          :func:`to_float4`
 ========================  =====================================
 
 Functions accept any of the four value types where the corresponding SQL
@@ -31,7 +32,7 @@ the reference's error for unsupported pairings.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence, Union
+from typing import Iterable, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -116,6 +117,14 @@ def concat(a: AnyVec, b: AnyVec):
     """The ``||`` operator — src/vector.c:926-947."""
     a, b = _pair(a, b, "||")
     return a.concat(b)
+
+
+def to_float4(a: Union[Vector, HalfVec]) -> List[float]:
+    """vector_to_float4 / halfvec_to_float4 — the ``vector → real[]`` cast
+    (sql/vector.sql:227-231, 681-685; src/vector.c:1100-1124): a plain list
+    of the stored elements widened to Python floats (vector elements are
+    already f32; halfvec elements widen exactly)."""
+    return a.tolist()
 
 
 # -- aggregates (vector + halfvec; sql/vector.sql:180-198, 624-642) --------

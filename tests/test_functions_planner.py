@@ -56,6 +56,9 @@ def test_cast_matrix():
     assert F.to_vector([1, 2, 3]).to_text() == "[1,2,3]"
     assert F.to_vector("[1,2]").to_text() == "[1,2]"
     assert F.to_bit(Vector([1, -2, 3])).to_text() == "101"
+    # vector → real[] (sql/vector.sql:237-238); halfvec widens exactly
+    assert F.to_float4(v) == [0.0, 1.5, 0.0]
+    assert F.to_float4(h) == [0.0, 1.5, 0.0]
     with pytest.raises(DataException, match="expected 4 dimensions, not 3"):
         F.to_vector([1, 2, 3], typmod=4)
 
