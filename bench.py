@@ -136,6 +136,14 @@ def main():
                     out["last_measured_on_tpu"] = json.load(f)
             except Exception:
                 pass
+            try:
+                lanes = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "experiments", "results",
+                                     "summary_r03.json")
+                with open(lanes) as f:
+                    out["measured_lanes"] = json.load(f)
+            except Exception:
+                pass
             print(json.dumps(out))
             return
 
@@ -477,6 +485,18 @@ def main():
         "metric_lanes": metric_lanes,
         "backend": jax.default_backend(),
     }
+    # the optional lanes above only run when their BENCH_* env knobs are
+    # set (each adds a multi-hundred-second build); the same lanes were
+    # measured on the real chip this round by the experiments/ scripts —
+    # surface those results (provenance-labeled) so one default bench run
+    # still reports the full BASELINE matrix
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "experiments", "results",
+                               "summary_r03.json")) as f:
+            out["measured_lanes"] = json.load(f)
+    except Exception:
+        pass
     print(json.dumps(out))
 
 
