@@ -348,3 +348,35 @@ def test_fanout_rejects_unknown_qaxis(rng):
     with pytest.raises(ValueError, match="no axis"):
         DeviceShardedHNSWIndex(make_mesh(2), table, Metric.L2, qaxis="qp",
                                m=4, ef_construction=16, wave_size=32)
+
+
+def test_executor_over_fanout_index(rng):
+    """The full serving stack: BatchingExecutor micro-batches concurrent
+    callers into one device batch, the 2-D mesh splits that batch over
+    replica columns, and writes serialize against read batches — the
+    analogue of many backends + replicas serving one table."""
+    from concurrent.futures import wait
+    from pgvector_tpu.parallel import DeviceShardedHNSWIndex, make_mesh2
+    from pgvector_tpu.runtime import BatchingExecutor
+
+    db = rng.normal(size=(800, 8)).astype(np.float32)
+    table = DenseTable(8)
+    rows = table.insert(db)
+    idx = DeviceShardedHNSWIndex(make_mesh2(2, 4), table, Metric.L2, m=8,
+                                 ef_construction=32, wave_size=128,
+                                 qaxis="qp", seed=7)
+    ex = BatchingExecutor(idx, max_batch=32, max_wait_ms=1.0, ef_search=40)
+    try:
+        futs = [ex.submit(db[i], 5) for i in range(48)]
+        wf = ex.submit_write(lambda ix: (table.delete(rows[:8]), ix.vacuum()))
+        futs += [ex.submit(db[i], 5) for i in range(48, 96)]
+        wait(futs + [wf], timeout=120)
+        wf.result()
+        for i, f in enumerate(futs):
+            d, r = f.result(timeout=60)
+            assert int(r[0]) == i or i < 8  # self-hit unless deleted
+        # post-vacuum reads never surface deleted rows
+        d, r = ex.search(db[3], 5)
+        assert not np.isin(r, np.asarray(rows[:8])).any()
+    finally:
+        ex.shutdown()
