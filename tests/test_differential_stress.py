@@ -46,13 +46,15 @@ def _oracle_topk(metric, qs, db, live, k):
     return [set(np.argsort(row, kind="stable")[:kk].tolist()) for row in s]
 
 
-def _check_state(idx, metric, table, db, qs, k, floor):
+def _check_state(idx, metric, table, db, qs, k, floor, search_kw=None):
     live = np.asarray(table.valid[: table.count]).copy()
     live_n = int(live.sum())
     if live_n == 0:
         return
-    d, r = idx.search(qs, k, **(
-        {"ef_search": 80} if isinstance(idx, HNSWIndex) else {"probes": 8}))
+    if search_kw is None:
+        search_kw = ({"ef_search": 80} if isinstance(idx, HNSWIndex)
+                     else {"probes": 8})
+    d, r = idx.search(qs, k, **search_kw)
     # 1. deleted/absent rows never surface; pairs are (finite, valid-id)
     for qi in range(len(qs)):
         for dd, rr in zip(d[qi], r[qi]):
@@ -295,3 +297,71 @@ def test_filtered_iterative_ivf_recall_vs_oracle():
                for rr, ex in zip(r2, exact))
     denom = sum(len(ex) for ex in exact)
     assert hits / denom >= 0.999, hits / denom
+
+
+def test_device_sharded_mutation_sequence_vs_oracle(tmp_path):
+    """The sharded lifecycle under churn, on the 2-D fan-out mesh: insert
+    routing to the least-loaded shard, vacuum propagation + per-shard
+    4-pass repair, and a mid-sequence checkpoint round-trip, all checked
+    against the f64 oracle (the sharded form of test/t/007/016/038)."""
+    import jax
+
+    from pgvector_tpu.parallel import DeviceShardedHNSWIndex, make_mesh2
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(107)
+    db = rng.normal(size=(2000, DIM)).astype(np.float32)
+    qs = (db[:10] + 0.01).astype(np.float32)
+    table = DenseTable(DIM)
+    table.insert(db[:1000])
+    mesh = make_mesh2(2, 4)
+    idx = DeviceShardedHNSWIndex(mesh, table, Metric.L2, m=8,
+                                 ef_construction=32, wave_size=256,
+                                 qaxis="qp", seed=11)
+    inserted, round_i = 1000, 0
+    while inserted < len(db):
+        step = int(rng.integers(250, 500))
+        rows = table.insert(db[inserted: inserted + step])
+        idx.insert(rows)
+        inserted += step
+        live_ids = np.flatnonzero(np.asarray(table.valid[: table.count]))
+        kill = rng.choice(live_ids, size=len(live_ids) // 10, replace=False)
+        table.delete(kill)
+        idx.vacuum()
+        if round_i == 1:  # replica state transfer mid-sequence
+            idx.save(str(tmp_path / "ck"))
+            idx = DeviceShardedHNSWIndex.load(mesh, table,
+                                              str(tmp_path / "ck"),
+                                              qaxis="qp")
+        _check_state(idx, Metric.L2, table, db[: table.count], qs, 10,
+                     floor=0.85, search_kw={"ef_search": 80})
+        round_i += 1
+    assert round_i >= 2
+
+
+def test_device_sharded_ivf_mutation_sequence_vs_oracle():
+    import jax
+
+    from pgvector_tpu.parallel import DeviceShardedIVFFlatIndex, make_mesh2
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(109)
+    db = rng.normal(size=(2200, DIM)).astype(np.float32)
+    qs = (db[:10] + 0.01).astype(np.float32)
+    table = DenseTable(DIM)
+    table.insert(db[:1100])
+    idx = DeviceShardedIVFFlatIndex(make_mesh2(2, 4), table, Metric.L2,
+                                    lists=8, seed=13, qaxis="qp")
+    inserted = 1100
+    while inserted < len(db):
+        step = int(rng.integers(300, 600))
+        rows = table.insert(db[inserted: inserted + step])
+        idx.insert(rows)
+        inserted += step
+        live_ids = np.flatnonzero(np.asarray(table.valid[: table.count]))
+        kill = rng.choice(live_ids, size=len(live_ids) // 8, replace=False)
+        table.delete(kill)
+        idx.vacuum()
+        # probes == lists → exhaustive per shard: recall must be ~1.0
+        _check_state(idx, Metric.L2, table, db[: table.count], qs, 10,
+                     floor=0.999, search_kw={"probes": 8})
