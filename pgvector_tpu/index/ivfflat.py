@@ -33,6 +33,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -228,6 +229,11 @@ class IVFFlatIndex:
         with timers.phase("ivfflat.assign"):
             self._assign_all(live)
         self.progress.set_phase("loading tuples", len(live))
+        if os.environ.get("PGVECTOR_TPU_KMEANS_DEBUG", "0") == "1":
+            m = self.kmeans_metrics()
+            self.notice_hook(f"inertia: {m['inertia']:.3e}")
+            if m["davies_bouldin"] is not None:
+                self.notice_hook(f"davies-bouldin: {m['davies_bouldin']:.3f}")
 
     def _assign_all(self, rows: np.ndarray) -> None:
         """Assignment matmul + posting scatter (ivfbuild.c:971-1035)."""
@@ -404,6 +410,59 @@ class IVFFlatIndex:
         dead = ~valid[: len(assignments)]
         assignments[: len(dead)][dead] = -1
         self._load_postings(assignments)
+
+    # ------------------------------------------------------------ diagnostics
+    def kmeans_metrics(self) -> dict:
+        """IVFFLAT_KMEANS_DEBUG analogue (PrintKmeansMetrics,
+        ivfbuild.c:558-601): clustering quality of the current assignment.
+
+        - ``inertia``: Σ over indexed tuples of the opclass distance to
+          their list's center (the reference accumulates minDistance per
+          tuple, ivfbuild.c:195).
+        - ``davies_bouldin``: mean over lists of max_{j≠i} (s_i+s_j)/d_ij
+          where s is the per-list mean member distance and d the
+          center-to-center opclass distance (None when lists ≤ 1, matching
+          the reference's guard).
+
+        The reference computes these tuple-at-a-time during AddTupleToSort;
+        here one batched distance matmul per 64k chunk, same numbers."""
+        lists = self.lists
+        assigns = self.assignments[: self.table.capacity]
+        valid = np.asarray(self.table.valid[: len(assigns)])
+        rows = np.flatnonzero((assigns >= 0) & valid)
+        cent = self.centroids_f32 if self._is_bit else self.centroids
+
+        def proc_scores(a, b):
+            # the opclass kmeans distance proc: Hamming == L2² on 0/1
+            # unpacked bits; spherical opclasses (IP/cosine) use
+            # acos(ip)/π (vector_spherical_distance, src/vector.c:703-721);
+            # L2 uses the squared distance
+            if self._spherical and not self._is_bit:
+                ip = np.asarray(a, np.float64) @ np.asarray(b, np.float64).T
+                return np.arccos(np.clip(ip, -1.0, 1.0)) / np.pi
+            return np.asarray(D.dense_scores(Metric.L2, a, b), np.float64)
+
+        inertia = 0.0
+        sums = np.zeros(lists, np.float64)
+        counts = np.zeros(lists, np.int64)
+        for s in range(0, len(rows), 65536):
+            rs = rows[s: s + 65536]
+            vals, keep = self._index_values(rs)
+            a = assigns[rs]
+            sc = proc_scores(vals, cent)
+            d = sc[np.arange(len(rs)), a][keep]
+            inertia += float(d.sum())
+            sums += np.bincount(a[keep], weights=d, minlength=lists)
+            counts += np.bincount(a[keep], minlength=lists)
+        db = None
+        if lists > 1:
+            s_mean = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+            cd = proc_scores(cent, cent)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = (s_mean[:, None] + s_mean[None, :]) / cd
+            np.fill_diagonal(ratio, -np.inf)
+            db = float(np.nanmax(ratio, axis=1).mean())
+        return {"inertia": inertia, "davies_bouldin": db}
 
     # ----------------------------------------------------------------- search
     def _form_queries(self, q) -> jnp.ndarray:

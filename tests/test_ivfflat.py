@@ -186,3 +186,52 @@ def test_inverted_vs_block_probe_equivalence(dense_data):
             for r_a, r_b, dd in zip(i_inv, i_blk, d_inv):
                 assert set(r_a[np.isfinite(dd)]) == set(
                     r_b[np.isfinite(dd)]), metric
+
+
+def test_kmeans_metrics_vs_oracle(monkeypatch, rng):
+    """IVFFLAT_KMEANS_DEBUG analogue (ivfbuild.c:558-601): inertia and the
+    Davies-Bouldin index match a direct numpy evaluation of the reference
+    formulas, and PGVECTOR_TPU_KMEANS_DEBUG=1 emits the INFO lines."""
+    db = rng.normal(size=(600, 8)).astype(np.float32)
+    table = DenseTable(8)
+    table.insert(db)
+    notices = []
+    monkeypatch.setenv("PGVECTOR_TPU_KMEANS_DEBUG", "1")
+    idx = IVFFlatIndex(table, Metric.L2, lists=6, seed=3,
+                       notice_hook=notices.append)
+    assert any(n.startswith("inertia:") for n in notices)
+    assert any(n.startswith("davies-bouldin:") for n in notices)
+
+    m = idx.kmeans_metrics()
+    # oracle: squared-L2 distance proc over the actual assignment
+    cent = np.asarray(idx.centroids, np.float64)
+    a = idx.assignments[:600]
+    d = ((db.astype(np.float64) - cent[a]) ** 2).sum(axis=1)
+    assert abs(m["inertia"] - d.sum()) / d.sum() < 1e-4
+    s = np.zeros(6)
+    for i in range(6):
+        if (a == i).any():
+            s[i] = d[a == i].mean()
+    cd = ((cent[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    ratios = (s[:, None] + s[None, :]) / np.where(cd > 0, cd, np.inf)
+    np.fill_diagonal(ratios, -np.inf)
+    db_oracle = ratios.max(axis=1).mean()
+    assert abs(m["davies_bouldin"] - db_oracle) < 1e-3 * max(db_oracle, 1)
+
+
+def test_kmeans_metrics_spherical():
+    """Cosine opclass uses the spherical distance proc acos(ip)/pi
+    (vector.c:703-721) for the debug metrics."""
+    rng = np.random.default_rng(11)
+    db = rng.normal(size=(300, 8)).astype(np.float32)
+    table = DenseTable(8)
+    table.insert(db)
+    idx = IVFFlatIndex(table, Metric.COSINE, lists=4, seed=5)
+    m = idx.kmeans_metrics()
+    vals = db / np.linalg.norm(db, axis=1, keepdims=True)
+    cent = np.asarray(idx.centroids, np.float64)
+    a = idx.assignments[:300]
+    ip = np.einsum("ij,ij->i", vals.astype(np.float64), cent[a])
+    d = np.arccos(np.clip(ip, -1, 1)) / np.pi
+    assert abs(m["inertia"] - d.sum()) / d.sum() < 1e-3
+    assert 0 < m["inertia"] < 300  # angular distances are in [0, 1]
