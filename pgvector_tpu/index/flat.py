@@ -21,6 +21,7 @@ from ..ops import distance as D
 from ..ops.metric import Metric
 from ..ops.topk import grouped_exact_topk, tiled_topk
 from ..store.table import BitTable, DenseTable, SparseTable
+from ..utils.stats import ScanStats
 from ..types import Bit, HalfVec, SparseVec, Vector
 
 
@@ -111,6 +112,8 @@ class FlatIndex:
         self.metric = metric
         self.tile = tile
         self.notice_hook = notice_hook or (lambda msg: None)
+        #: pg_stat observability analogue (utils/stats.py)
+        self.stats = ScanStats()
         self.last_path: str = ""
         if isinstance(table, DenseTable) and metric not in DENSE_METRICS:
             raise DataException(f"operator {metric.op} does not apply to dense vectors")
@@ -310,4 +313,6 @@ class FlatIndex:
             user = jnp.where(jnp.isinf(stored), stored, jnp.sqrt(jnp.maximum(stored, 0.0)))
         else:
             user = stored
-        return np.asarray(user), np.asarray(ids)
+        user, ids = np.asarray(user), np.asarray(ids)
+        self.stats.count(len(ids), ids)
+        return user, ids

@@ -53,6 +53,7 @@ from ..errors import DataException, FeatureNotSupported, InternalError
 from ..ops import distance as D
 from ..ops.metric import Metric
 from ..store.table import BitTable, DenseTable, SparseTable
+from ..utils.stats import ScanStats
 from ..utils.telemetry import Progress, timers
 from . import hnsw_kernels as K
 
@@ -124,6 +125,8 @@ class HNSWIndex:
         self.dedup = dedup
         self.notice_hook = notice_hook or (lambda msg: None)
         self.progress = progress or Progress()
+        #: pg_stat_user_indexes / nsearches analogue (utils/stats.py)
+        self.stats = ScanStats()
         self.ml = 1.0 / math.log(m)  # hnsw.h:130
         self._mem_notice_fired = False
         self._wave_eff = wave_size  # wave size after the memory budget
@@ -901,8 +904,12 @@ class HNSWIndex:
         fmask = jnp.asarray(filter_mask, dtype=bool) if filter_mask is not None else None
         if mode == "off":
             d, r = self._search_once(qs, nq, k, ef, fmask)
-            return np.asarray(d), np.asarray(r)
-        return self._search_iterative(qs, nq, k, ef, fmask, mode)
+            d, r = np.asarray(d), np.asarray(r)
+            self.stats.count(nq, r)
+            return d, r
+        d, r = self._search_iterative(qs, nq, k, ef, fmask, mode)
+        self.stats.count(nq, r, rounds=self._last_scan_rounds)
+        return d, r
 
     def _scan_bytes_per_query(self, ef: int) -> int:
         """Device bytes of per-query scan state at a given ef: pool slots ×
@@ -1070,6 +1077,8 @@ class HNSWIndex:
                     self.nbr_up, self._up_slot_dev, qs, visited, disc_d,
                     disc_i, ef=ef, m=self.m, expand=self.beam_expand,
                 )
+        #: iterative resume rounds of the last scan — stats.searches input
+        self._last_scan_rounds = batches
         # merge batches: per-query dedup (keep first occurrence — batch
         # order mirrors emission order), sort by distance, take k
         all_d = np.concatenate(acc_d, axis=1)

@@ -45,6 +45,7 @@ from ..ops import distance as D
 from ..ops.metric import Metric
 from ..ops.topk import merge_topk
 from ..store.table import BitTable, DenseTable
+from ..utils.stats import ScanStats
 from ..utils.telemetry import Progress, timers
 from .ivf_kmeans import train_centers
 
@@ -92,6 +93,8 @@ class IVFFlatIndex:
         self.lists = lists
         self.seed = seed
         self.notice_hook = notice_hook or (lambda msg: None)
+        #: pg_stat_user_indexes / nsearches analogue (utils/stats.py)
+        self.stats = ScanStats()
         self.progress = progress or Progress()
         self._is_bit = isinstance(table, BitTable)
         if self._is_bit:
@@ -550,7 +553,10 @@ class IVFFlatIndex:
             if found >= k:
                 break
         best_i = jnp.where(jnp.isinf(best_d), -1, best_i)
-        return np.asarray(self._user_dist(best_d)), np.asarray(best_i)
+        d, r = np.asarray(self._user_dist(best_d)), np.asarray(best_i)
+        # nsearches counts probe batches (one "Index Search" per re-probe)
+        self.stats.count(nq, r, rounds=(off + probes - 1) // probes)
+        return d, r
 
     def _user_dist(self, stored: jnp.ndarray) -> jnp.ndarray:
         from ..ops.metric import stored_to_user

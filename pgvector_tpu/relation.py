@@ -117,8 +117,11 @@ class Relation:
             return path.index.search(q, k, **kwargs)
         return path.index.search(q, k)
 
-    def explain(self, metric: Optional[Metric] = None, **knobs) -> str:
-        """EXPLAIN-style single-line plan with cost estimates."""
+    def explain(self, metric: Optional[Metric] = None, analyze: bool = False,
+                q=None, k: int = 10, **knobs) -> str:
+        """EXPLAIN-style plan with cost estimates; ``analyze=True`` also
+        runs the query and appends actual rows / wall time / the PG18
+        "Index Searches" line (nsearches, hnswscan.c:206-210)."""
         metric = metric or self._default_metric()
         lines = []
         path = choose_path(self.table, self.indexes, metric, **knobs)
@@ -134,6 +137,21 @@ class Relation:
                 and (idx is path.index)
             ) else ""
             lines.append(f"{name}  (cost≈{cost:.0f} tuples){chosen}")
+        if analyze:
+            import time
+
+            if q is None:
+                raise DataException("EXPLAIN ANALYZE requires a query vector")
+            before = (path.index.stats.searches
+                      if path.index is not None else 0)
+            t0 = time.perf_counter()
+            _, r = self.knn(q, k, metric=metric, **knobs)
+            ms = (time.perf_counter() - t0) * 1000.0
+            lines.append(f"Rows Returned: {int((r >= 0).sum())}")
+            if path.index is not None:
+                lines.append(
+                    f"Index Searches: {path.index.stats.searches - before}")
+            lines.append(f"Execution Time: {ms:.3f} ms")
         return "\n".join(lines)
 
     def _default_metric(self) -> Metric:

@@ -76,3 +76,41 @@ def test_default_metric_skips_btree_index(rng):
     assert i[0, 0] == 0 if i.ndim == 2 else i[0] == 0
     rel.create_index("hnsw", Metric.IP, m=4, ef_construction=16)
     assert rel._default_metric() is Metric.IP
+
+
+def test_scan_stats_and_explain_analyze(rng):
+    """pg_stat observability analogue: idx.stats counts scans/queries/
+    searches/tuples (pgstat_count_index_scan; PG18 nsearches incl.
+    iterative resumes), and EXPLAIN ANALYZE reports actual rows, Index
+    Searches, and wall time (hnswscan.c:206-210)."""
+    from pgvector_tpu.config import config
+
+    db = rng.normal(size=(4000, 8)).astype(np.float32)
+    rel = Relation(DenseTable(8))
+    rel.insert(db)
+    idx = rel.create_index("hnsw", Metric.L2, m=8, ef_construction=32,
+                           wave_size=512)
+    assert idx.stats.as_dict() == {"scans": 0, "queries": 0, "searches": 0,
+                                   "tuples_returned": 0}
+    rel.knn(db[:6], k=5)
+    s = idx.stats.as_dict()
+    assert s["scans"] == 1 and s["queries"] == 6 and s["searches"] == 6
+    assert s["tuples_returned"] == 30
+    # iterative resumes bump nsearches past the query count: filter to a
+    # sliver so the first ef pool can't fill k
+    mask = np.zeros(rel.table.capacity, bool)
+    mask[:40] = True
+    with config.local(**{"hnsw.iterative_scan": "relaxed_order"}):
+        rel.knn(db[0], k=10, ef_search=12, filter_mask=mask)
+    s2 = idx.stats.as_dict()
+    assert s2["scans"] == 2 and s2["queries"] == 7
+    assert s2["searches"] > s["searches"] + 1  # resumed at least once
+    idx.stats.reset()
+    assert idx.stats.scans == 0
+
+    plan = rel.explain(Metric.L2, analyze=True, q=db[0], k=5, ef_search=40)
+    assert "Rows Returned: 5" in plan
+    assert "Index Searches: 1" in plan
+    assert "Execution Time:" in plan
+    with pytest.raises(DataException, match="requires a query"):
+        rel.explain(Metric.L2, analyze=True)
