@@ -15,6 +15,7 @@ adding backends/streaming replicas (test/t/001, test/t/016).
 
 from .mesh import make_mesh, make_mesh2, shard_rows
 from .sharded import (
+    dim_sharded_exact_search,
     sharded_exact_search,
     sharded_kmeans_step,
     train_centers_sharded,
@@ -29,6 +30,7 @@ __all__ = [
     "make_mesh",
     "make_mesh2",
     "shard_rows",
+    "dim_sharded_exact_search",
     "sharded_exact_search",
     "sharded_kmeans_step",
     "train_centers_sharded",

@@ -98,6 +98,96 @@ def sharded_exact_search(
     return fn(db, valid, qs)
 
 
+def dim_sharded_exact_search(
+    mesh: Mesh,
+    metric: Metric,
+    db: jnp.ndarray,  # (N, D) — will be sharded over the FEATURE dim
+    qs: jnp.ndarray,  # (Q, D) — sharded over the same dim slices
+    k: int,
+    valid: Optional[jnp.ndarray] = None,
+    axis: str = "shard",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k with the *feature* dimension sharded over the mesh —
+    the huge-dim mapping SURVEY.md §5 calls for (the reference's "long
+    inputs" are high-dim vectors, capped at 16k dims for the plain type,
+    vector.h:11).  Each device holds a D/S column slice of every row,
+    computes its partial inner products and squared-norm pieces (one MXU
+    matmul over its slice), and one ``psum`` over ICI assembles the exact
+    scores; every metric decomposes exactly over dim slices (IP/L2²/cosine
+    from partial ip+norms; L1 as a partial elementwise sum).
+
+    Complements ``sharded_exact_search`` (row sharding): shard rows when N
+    is large, dims when D is (N · D/S per device either way — pick the
+    axis that is big).  The (Q, N) score matrix materializes replicated,
+    so this path expects the modest row counts that huge-dim tables have.
+    """
+    if metric not in (Metric.L2, Metric.IP, Metric.COSINE, Metric.L1):
+        from ..errors import FeatureNotSupported
+
+        raise FeatureNotSupported(
+            f"dim_sharded_exact_search does not support {metric}: packed "
+            "bit metrics do not decompose over feature slices")
+    n, dim = db.shape
+    n_shards = mesh.shape[axis]
+    pad = (-dim) % n_shards
+    if pad:  # zero columns contribute 0 to every partial — exact
+        db = jnp.pad(db, ((0, 0), (0, pad)))
+        qs = jnp.pad(qs, ((0, 0), (0, pad)))
+    if valid is None:
+        valid = jnp.ones(n, jnp.bool_)
+    else:
+        valid = jnp.asarray(valid[:n], jnp.bool_)
+
+    def shard_fn(db_s, qs_s, valid_rep):
+        if metric is Metric.L1:
+            part = jnp.sum(
+                jnp.abs(qs_s[:, None, :].astype(jnp.float32)
+                        - db_s[None, :, :].astype(jnp.float32)), axis=-1)
+            s = jax.lax.psum(part, axis)
+        else:
+            ip = jax.lax.dot_general(
+                qs_s.astype(jnp.float32), db_s.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=D.dot_precision(),
+            )
+            ip = jax.lax.psum(ip, axis)
+            if metric is Metric.IP:
+                s = -ip
+            elif metric is Metric.L2:
+                q_sq = jax.lax.psum(
+                    jnp.sum(qs_s.astype(jnp.float32) ** 2, axis=1), axis)
+                d_sq = jax.lax.psum(
+                    jnp.sum(db_s.astype(jnp.float32) ** 2, axis=1), axis)
+                s = jnp.maximum(q_sq[:, None] - 2.0 * ip + d_sq[None, :], 0.0)
+            elif metric is Metric.COSINE:
+                q_n = jnp.sqrt(jax.lax.psum(
+                    jnp.sum(qs_s.astype(jnp.float32) ** 2, axis=1), axis))
+                d_n = jnp.sqrt(jax.lax.psum(
+                    jnp.sum(db_s.astype(jnp.float32) ** 2, axis=1), axis))
+                denom = q_n[:, None] * d_n[None, :]
+                s = jnp.where(denom > 0, 1.0 - ip / jnp.where(denom > 0, denom, 1.0),
+                              jnp.inf)
+        s = jnp.where(valid_rep[None, :], s, jnp.inf)
+        qn = s.shape[0]
+        d, i = topk_smallest(s, min(k, n))
+        if d.shape[1] < k:
+            d = jnp.concatenate(
+                [d, jnp.full((qn, k - d.shape[1]), jnp.inf, d.dtype)], axis=1)
+            i = jnp.concatenate(
+                [i, jnp.full((qn, k - i.shape[1]), -1, i.dtype)], axis=1)
+        return d, jnp.where(jnp.isinf(d), -1, i)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,  # psum makes the scores (hence outputs) replicated
+    )
+    return fn(db, qs, valid)
+
+
 # ---------------------------------------------------------------------------
 # sharded k-means step — data parallel over samples, psum of center sums
 # ---------------------------------------------------------------------------

@@ -380,3 +380,51 @@ def test_executor_over_fanout_index(rng):
         assert not np.isin(r, np.asarray(rows[:8])).any()
     finally:
         ex.shutdown()
+
+
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.IP, Metric.COSINE,
+                                    Metric.L1])
+def test_dim_sharded_exact_matches_single_chip(mesh, rng, metric):
+    """Feature-dim sharding (SURVEY §5 huge-dim mapping): each device holds
+    a D/8 column slice, partial scores psum over ICI — results must equal
+    the single-chip exact scan for every dense metric, including a dim
+    that does not divide the mesh (no silent padding error)."""
+    db = rng.normal(size=(400, 37)).astype(np.float32)  # 37 % 8 != 0
+    q = rng.normal(size=(9, 37)).astype(np.float32)
+    from pgvector_tpu.parallel import dim_sharded_exact_search
+
+    d, i = dim_sharded_exact_search(mesh, metric, jnp.asarray(db),
+                                    jnp.asarray(q), 10)
+    table = DenseTable(37)
+    table.insert(db)
+    e_d, e_i = FlatIndex(table, metric).search(q, 10)
+    d = np.asarray(d)
+    if metric is Metric.L2:
+        d = np.sqrt(np.maximum(d, 0.0))
+    np.testing.assert_allclose(d, e_d, rtol=1e-4, atol=1e-4)
+    # id agreement modulo near-ties at the boundary
+    hits = sum(len(set(map(int, a)) & set(map(int, b)))
+               for a, b in zip(np.asarray(i), e_i))
+    assert hits >= 9 * 10 - 4
+
+
+def test_dim_sharded_respects_validity_and_k_overflow(mesh, rng):
+    from pgvector_tpu.parallel import dim_sharded_exact_search
+
+    db = rng.normal(size=(6, 16)).astype(np.float32)
+    valid = np.array([True, False, True, True, False, True])
+    d, i = dim_sharded_exact_search(mesh, Metric.L2, jnp.asarray(db),
+                                    jnp.asarray(db[:2]), 8,
+                                    valid=jnp.asarray(valid))
+    i = np.asarray(i)
+    assert not np.isin(i, [1, 4]).any()
+    assert (i[:, 4:] == -1).all()  # only 4 live rows; rest padded
+
+
+def test_dim_sharded_rejects_bit_metrics(mesh, rng):
+    from pgvector_tpu.errors import FeatureNotSupported
+    from pgvector_tpu.parallel import dim_sharded_exact_search
+
+    with pytest.raises(FeatureNotSupported, match="decompose"):
+        dim_sharded_exact_search(mesh, Metric.HAMMING,
+                                 jnp.zeros((4, 8)), jnp.zeros((1, 8)), 2)
