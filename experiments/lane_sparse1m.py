@@ -1,10 +1,16 @@
 # sparsevec IP HNSW lane (VERDICT r2 weak #4: "sparsevec HNSW never
-# benched at scale").  GT now uses the densified exact engine (host
+# benched at scale").  GT uses the densified exact engine (host
 # scatter -> grouped MXU matmul) — the merge-join kernel's [Q, tile, nnz]
 # lane-padded temps OOM'd the remote compile at 4000q and a chunked
 # retry hit a TPU worker fault (BENCH_NOTES round-3 session 3).
-import time, json, sys
+#
+# Session-6 hardening after a second worker crash mid-build at 200k:
+# scale to 100k rows, cap the pairwise merge-join transients at 512 MB
+# (PGVECTOR_TPU_SPARSE_PAIR_BYTES), and persist partial results so a
+# worker fault still leaves the GT timing on record.
+import time, json, os, sys
 sys.path.insert(0, "/root/repo")
+os.environ.setdefault("PGVECTOR_TPU_SPARSE_PAIR_BYTES", str(512 << 20))
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 import numpy as np
@@ -14,8 +20,9 @@ from pgvector_tpu.ops.metric import Metric
 from pgvector_tpu.store.table import SparseTable
 from pgvector_tpu.types.sparsevec import SparseVec
 
+OUT = "/tmp/lane_sparse3.json"
 nq, k, batch = 4000, 10, 4000
-sn, sdim, snnz = 200_000, 4096, 32
+sn, sdim, snnz = 100_000, 4096, 32
 rng = np.random.default_rng(11)
 # distinct sorted indices per row; values never exactly zero
 s_idx = np.empty((sn + nq, snnz), np.int32)
@@ -29,20 +36,29 @@ stab = SparseTable(sdim, nnz_cap=snnz, capacity=sn)
 stab.insert([SparseVec(sdim, s_idx[i], s_val[i], _checked=True) for i in range(sn)])
 sq = [SparseVec(sdim, s_idx[sn + i], s_val[sn + i], _checked=True) for i in range(nq)]
 print("loaded", flush=True)
+lane = {"n": sn, "dim": sdim, "nnz": snnz, "sweep": []}
+
+
+def save():
+    with open(OUT, "w") as f:
+        json.dump(lane, f)
+
+
 flat = FlatIndex(stab, Metric.IP)
 t0 = time.time()
 _, sgt = flat.search(sq, k)
 sgt = np.asarray(sgt)
-sgt_s = time.time() - t0
-print("gt", round(sgt_s, 1), flat.last_path, flush=True)
+lane["gt_s"] = round(time.time() - t0, 1)
+lane["gt_path"] = flat.last_path
+save()
+print("gt", lane["gt_s"], lane["gt_path"], flush=True)
 t0 = time.time()
 sidx = HNSWIndex(stab, Metric.IP, m=16, ef_construction=64, wave_size=1024,
                  dedup=False, beam_expand=4)
-s_build = time.time() - t0
-print("build", round(s_build, 1), flush=True)
+lane["build_s"] = round(time.time() - t0, 1)
+save()
+print("build", lane["build_s"], flush=True)
 sidx.beam_expand = 8
-lane = {"n": sn, "dim": sdim, "nnz": snnz, "build_s": round(s_build, 1),
-        "gt_s": round(sgt_s, 1), "gt_path": flat.last_path, "sweep": []}
 for ef in (40, 100):
     sidx.search(sq[:batch], k, ef_search=ef)
     t0 = time.time()
@@ -52,8 +68,7 @@ for ef in (40, 100):
     sh = sum(len(set(map(int, a)) & set(map(int, e))) for a, e in zip(r, sgt))
     lane["sweep"].append({"ef": ef, "recall_at_10": round(sh/(nq*k), 4),
                           "qps": round(nq/dt, 1)})
+    save()
     print(json.dumps(lane["sweep"][-1]), flush=True)
 print(json.dumps(lane), flush=True)
-with open("/tmp/lane_sparse3.json", "w") as f:
-    json.dump(lane, f)
 print("DONE", flush=True)

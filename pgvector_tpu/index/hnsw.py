@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -511,7 +512,12 @@ class HNSWIndex:
         c = ((self.ef_construction + min(self.m, self.wave_size) + 127)
              // 128) * 128
         per_row = c * c * self._nnz_lanes() * 8
-        cap = max(1, (2 << 30) // per_row)
+        # Default 2 GB of transients; overridable because the axon remote
+        # worker has died (hard process crash, not RESOURCE_EXHAUSTED) on
+        # large merge-join gather temps — a smaller bound trades dispatch
+        # count for headroom (BENCH_NOTES round-3 sparse lane).
+        bound = int(os.environ.get("PGVECTOR_TPU_SPARSE_PAIR_BYTES", 2 << 30))
+        cap = max(1, bound // per_row)
         p = 1
         while p * 2 <= cap:
             p *= 2
