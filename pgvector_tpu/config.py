@@ -16,7 +16,9 @@ GUCs and reloptions.
 from __future__ import annotations
 
 import contextlib
+import os
 import threading
+import warnings
 from dataclasses import dataclass
 from typing import Any, Dict, Iterator, Optional, Sequence
 
@@ -170,3 +172,29 @@ config.register_int("max_parallel_maintenance_workers", 8, 0, 1024,
 config.register_enum("compute.matmul_precision", "highest",
                      ("default", "high", "highest"),
                      "MXU precision for distance matmuls")
+
+
+def _env_int(name: str, default: int) -> int:
+    """Parse an integer env var once at import; malformed or empty values
+    fall back to the default instead of raising deep inside a build."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        warnings.warn(f"ignoring malformed {name}={raw!r}; using {default}")
+        return default
+
+
+# Structural HBM bound on the sparse merge-join pairwise transients used by
+# HNSW connect_level for sparsevec tables (see HNSWIndex._sparse_pair_rows_cap).
+# Sits beside maintenance_work_mem so operators find it in one place; the env
+# var PGVECTOR_TPU_SPARSE_PAIR_BYTES is honored as a startup override and is
+# snapshot exactly once here (the bound cannot drift mid-build).
+config.register_int(
+    "hnsw.sparse_pair_bytes",
+    _env_int("PGVECTOR_TPU_SPARSE_PAIR_BYTES", 2 << 30),
+    1 << 20, 2**53,
+    "HBM transient budget for sparse pairwise merge-join temps",
+)

@@ -508,15 +508,17 @@ class HNSWIndex:
     def _sparse_pair_rows_cap(self) -> int:
         """Max rows per pairwise sparse select/merge call: the
         (rows, C, C, nnz_lanes) f32+i32 merge-join gather temps must stay
-        under ~2 GB of HBM transients (see _wave_bytes)."""
+        under ``hnsw.sparse_pair_bytes`` of HBM transients (default 2 GB;
+        the PGVECTOR_TPU_SPARSE_PAIR_BYTES env var seeds the knob at
+        import — see _wave_bytes)."""
         c = ((self.ef_construction + min(self.m, self.wave_size) + 127)
              // 128) * 128
         per_row = c * c * self._nnz_lanes() * 8
-        # Default 2 GB of transients; overridable because the axon remote
-        # worker has died (hard process crash, not RESOURCE_EXHAUSTED) on
-        # large merge-join gather temps — a smaller bound trades dispatch
-        # count for headroom (BENCH_NOTES round-3 sparse lane).
-        bound = int(os.environ.get("PGVECTOR_TPU_SPARSE_PAIR_BYTES", 2 << 30))
+        # Bounded because the axon remote worker has died (hard process
+        # crash, not RESOURCE_EXHAUSTED) on large merge-join gather temps —
+        # a smaller bound trades dispatch count for headroom (BENCH_NOTES
+        # round-3 sparse lane).
+        bound = int(config.get("hnsw.sparse_pair_bytes"))
         cap = max(1, bound // per_row)
         p = 1
         while p * 2 <= cap:

@@ -5,6 +5,7 @@ sparse HNSW)."""
 import numpy as np
 import pytest
 
+from pgvector_tpu.config import config
 from pgvector_tpu.index.flat import FlatIndex
 from pgvector_tpu.index.hnsw import HNSWIndex
 from pgvector_tpu.ops.metric import Metric
@@ -153,19 +154,11 @@ def test_sparse_wave_clamp_is_structural_no_notice(rng):
     # graph is still functional
     _, r = h.search([SparseVec(dim, idx[0], val[0], _checked=True)], 3)
     assert r[0, 0] >= 0
-    # PGVECTOR_TPU_SPARSE_PAIR_BYTES overrides the transient bound (axon
-    # worker hard-crash mitigation, round-3 session 6): a smaller budget
-    # must yield a smaller power-of-two cap honoring that budget.
-    import os
-
-    old = os.environ.get("PGVECTOR_TPU_SPARSE_PAIR_BYTES")
-    try:
-        os.environ["PGVECTOR_TPU_SPARSE_PAIR_BYTES"] = str(64 << 20)
+    # hnsw.sparse_pair_bytes overrides the transient bound (axon worker
+    # hard-crash mitigation, round-3 session 6; the env var
+    # PGVECTOR_TPU_SPARSE_PAIR_BYTES seeds this knob once at import): a
+    # smaller budget must yield a smaller power-of-two cap honoring it.
+    with config.local(**{"hnsw.sparse_pair_bytes": 64 << 20}):
         small = h._sparse_pair_rows_cap()
         assert small <= cap
         assert small * c * c * lanes * 8 <= (64 << 20) or small == 1
-    finally:
-        if old is None:
-            os.environ.pop("PGVECTOR_TPU_SPARSE_PAIR_BYTES", None)
-        else:
-            os.environ["PGVECTOR_TPU_SPARSE_PAIR_BYTES"] = old
