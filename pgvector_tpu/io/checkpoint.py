@@ -5,8 +5,18 @@ hnsw.h:41-43, ivfflat.h:46-48).
 
 A checkpoint is a directory:
 
-    manifest.json   — magic, format version, object kind + parameters
-    *.npy           — one file per array (host-side numpy save)
+    manifest.json     — magic, format version, epoch, object kind + params
+    *.<epoch>.npy     — one file per array (host-side numpy save)
+
+Saves are **crash-atomic** (the analogue of the reference's GenericXLog
+crash safety — every reference page mutation is WAL'd, e.g.
+src/hnswinsert.c:695-743, so a crash always recovers to a consistent
+image).  Here the commit protocol is: write all array files under a fresh
+epoch tag and fsync them, then atomically replace ``manifest.json``
+(tmp + fsync + ``os.replace``) pointing at that epoch, then fsync the
+directory and garbage-collect older epochs.  A crash at ANY point leaves
+either the previous epoch (manifest untouched, new files are ignored
+orphans) or the new one (manifest committed) — never a mix.
 
 Tables and both index AMs round-trip losslessly; version numbers gate
 future format migrations the way ``ALTER EXTENSION vector UPDATE`` walks
@@ -17,7 +27,8 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict
+import re
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -29,18 +40,84 @@ from ..store.table import BitTable, DenseTable, SparseTable
 MAGIC = "pgvector-tpu"
 FORMAT_VERSION = 1
 
+# array files: <name>.<epoch>.npy / <name>.<epoch>.bf16.npy; legacy
+# (pre-round-4, non-atomic) checkpoints used <name>.npy with no epoch
+_ARRAY_RE = re.compile(r"^(?P<name>.+?)(?:\.(?P<epoch>\d+))?(?P<tag>\.bf16)?\.npy$")
 
-def _write_manifest(path: str, payload: Dict[str, Any]) -> None:
+
+def _fsync_file(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_dir(path: str) -> None:
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:  # platforms that cannot open directories
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _begin_save(path: str) -> int:
+    """Open a save transaction: ensure the dir exists and pick the next
+    epoch — one past anything visible in the manifest OR on disk, so a
+    crashed save's orphan files are never overwritten mid-flight."""
+    os.makedirs(path, exist_ok=True)
+    epoch = 0
+    try:
+        with open(os.path.join(path, "manifest.json")) as f:
+            epoch = int(json.load(f).get("epoch", 0))
+    except (OSError, ValueError):
+        pass
+    for fn in os.listdir(path):
+        m = _ARRAY_RE.match(fn)
+        if m and m.group("epoch"):
+            epoch = max(epoch, int(m.group("epoch")))
+    return epoch + 1
+
+
+def _write_manifest(path: str, payload: Dict[str, Any], epoch: int) -> None:
+    """Commit point: atomically publish the manifest for ``epoch`` (array
+    files already fsynced), then GC every other epoch's array files."""
     payload = dict(payload)
     payload["magic"] = MAGIC
     payload["version"] = FORMAT_VERSION
-    with open(os.path.join(path, "manifest.json"), "w") as f:
+    payload["epoch"] = epoch
+    final = os.path.join(path, "manifest.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(payload, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
+    _fsync_dir(path)
+    # GC is best-effort: a crash here leaves ignorable orphans, never
+    # corruption (the committed manifest names its epoch explicitly)
+    for fn in os.listdir(path):
+        m = _ARRAY_RE.match(fn)
+        if m and (m.group("epoch") or "0") != str(epoch):
+            try:
+                os.remove(os.path.join(path, fn))
+            except OSError:
+                pass
 
 
 def _read_manifest(path: str) -> Dict[str, Any]:
-    with open(os.path.join(path, "manifest.json")) as f:
-        m = json.load(f)
+    try:
+        with open(os.path.join(path, "manifest.json")) as f:
+            m = json.load(f)
+    except FileNotFoundError:
+        raise DataException(
+            f"invalid checkpoint at {path!r}: no manifest "
+            "(interrupted first save, or not a checkpoint directory)")
+    except ValueError:
+        raise DataException(f"invalid checkpoint at {path!r}: corrupt manifest")
     if m.get("magic") != MAGIC:
         raise DataException("invalid checkpoint: bad magic")
     if m.get("version") != FORMAT_VERSION:
@@ -50,32 +127,33 @@ def _read_manifest(path: str) -> Dict[str, Any]:
     return m
 
 
-def _save_arrays(path: str, arrays: Dict[str, Any]) -> None:
+def _array_name(name: str, epoch: Optional[int], tagged: bool) -> str:
+    tag = ".bf16" if tagged else ""
+    if epoch:
+        return f"{name}.{epoch}{tag}.npy"
+    return f"{name}{tag}.npy"  # legacy non-epoch layout
+
+
+def _save_arrays(path: str, arrays: Dict[str, Any], epoch: int = 0) -> None:
     for name, arr in arrays.items():
         a = np.asarray(arr)
-        plain = os.path.join(path, name + ".npy")
-        tagged = os.path.join(path, name + ".bf16.npy")
         if a.dtype == np.dtype(jnp.bfloat16):
             # np.save writes ml_dtypes bfloat16 as raw void ("|V2"), which
             # np.load cannot reinterpret — store the bit pattern as uint16
             # under a tagged name instead
-            np.save(tagged, np.ascontiguousarray(a).view(np.uint16))
-            stale = plain
+            fn = os.path.join(path, _array_name(name, epoch, True))
+            np.save(fn, np.ascontiguousarray(a).view(np.uint16))
         else:
-            np.save(plain, a)
-            stale = tagged
-        # a re-save into an existing dir must not leave the other dtype's
-        # variant behind: _load prefers the tagged file, so a stale one
-        # would silently shadow the fresh data
-        if os.path.exists(stale):
-            os.remove(stale)
+            fn = os.path.join(path, _array_name(name, epoch, False))
+            np.save(fn, a)
+        _fsync_file(fn)
 
 
-def _load(path: str, name: str) -> np.ndarray:
-    tagged = os.path.join(path, name + ".bf16.npy")
+def _load(path: str, name: str, epoch: int = 0) -> np.ndarray:
+    tagged = os.path.join(path, _array_name(name, epoch, True))
     if os.path.exists(tagged):
         return np.load(tagged).view(np.dtype(jnp.bfloat16))
-    return np.load(os.path.join(path, name + ".npy"))
+    return np.load(os.path.join(path, _array_name(name, epoch, False)))
 
 
 # ---------------------------------------------------------------------------
@@ -84,7 +162,7 @@ def _load(path: str, name: str) -> np.ndarray:
 
 
 def save_table(table, path: str) -> None:
-    os.makedirs(path, exist_ok=True)
+    epoch = _begin_save(path)
     if isinstance(table, DenseTable):
         kind = "dense"
         arrays = {"data": table.data[: table.count]}
@@ -100,29 +178,29 @@ def save_table(table, path: str) -> None:
     else:
         raise DataException(f"cannot checkpoint {type(table).__name__}")
     arrays["valid"] = table.valid[: table.count]
-    _save_arrays(path, arrays)
+    _save_arrays(path, arrays, epoch)
     _write_manifest(path, {"object": "table", "kind": kind,
-                           "count": table.count, **extra})
+                           "count": table.count, **extra}, epoch)
 
 
 def load_table(path: str):
     m = _read_manifest(path)
     if m["object"] != "table":
         raise DataException(f'expected a table checkpoint, found "{m["object"]}"')
-    count = m["count"]
-    valid = _load(path, "valid")
+    count, ep = m["count"], m.get("epoch", 0)
+    valid = _load(path, "valid", ep)
     if m["kind"] == "dense":
         table = DenseTable(m["dim"], dtype=jnp.dtype(m["dtype"]),
                            capacity=max(count, 8))
         if count:
-            rows = table.insert(_load(path, "data"))
+            rows = table.insert(_load(path, "data", ep))
             dead = rows[~valid]
             if len(dead):
                 table.delete(dead)
     elif m["kind"] == "bit":
         table = BitTable(m["dim"], capacity=max(count, 8))
         if count:
-            packed = _load(path, "data")
+            packed = _load(path, "data", ep)
             table.data = jnp.zeros((table.capacity, table.words), jnp.uint32)
             table.data = table.data.at[:count].set(jnp.asarray(packed))
             table.count = count
@@ -130,8 +208,10 @@ def load_table(path: str):
     else:
         table = SparseTable(m["dim"], nnz_cap=m["nnz_cap"], capacity=max(count, 8))
         if count:
-            table.idx = table.idx.at[:count].set(jnp.asarray(_load(path, "idx")))
-            table.val = table.val.at[:count].set(jnp.asarray(_load(path, "val")))
+            table.idx = table.idx.at[:count].set(
+                jnp.asarray(_load(path, "idx", ep)))
+            table.val = table.val.at[:count].set(
+                jnp.asarray(_load(path, "val", ep)))
             table.count = count
             table.valid = table.valid.at[:count].set(jnp.asarray(valid))
     return table
@@ -145,7 +225,7 @@ def load_table(path: str):
 def save_hnsw(idx, path: str) -> None:
     """Serialize the HNSW graph arrays (the FlushPages analogue,
     hnswbuild.c:303-316 — metapage + element + neighbor tuples)."""
-    os.makedirs(path, exist_ok=True)
+    epoch = _begin_save(path)
     arrays = {
         "nbr0": idx.nbr0[: idx.n_elems],
         "nbr_up": idx.nbr_up[: idx.n_upper],
@@ -157,7 +237,7 @@ def save_hnsw(idx, path: str) -> None:
     }
     for j, v in enumerate(idx.values):
         arrays[f"values{j}"] = v[: idx.n_elems]
-    _save_arrays(path, arrays)
+    _save_arrays(path, arrays, epoch)
 
     def _plain(v):
         if isinstance(v, dict):
@@ -187,7 +267,7 @@ def save_hnsw(idx, path: str) -> None:
         "beam_expand": idx.beam_expand,
         "backlink_mode": idx.backlink_mode,
         "dedup": idx.dedup,
-    })
+    }, epoch)
 
 
 def load_hnsw(table, path: str):
@@ -203,7 +283,7 @@ def load_hnsw(table, path: str):
                     beam_expand=m.get("beam_expand", 1),
                     backlink_mode=m.get("backlink_mode", "wholesale"),
                     dedup=m.get("dedup", True))
-    n, nu = m["n_elems"], m["n_upper"]
+    n, nu, ep = m["n_elems"], m["n_upper"], m.get("epoch", 0)
     while idx.cap_e < max(n, 1):
         idx._grow()
     while idx.cap_u < max(nu, 1):
@@ -219,9 +299,10 @@ def load_hnsw(table, path: str):
     if "rng_state" in m:
         idx._rng.bit_generator.state = m["rng_state"]
     if n:
-        idx.nbr0 = idx.nbr0.at[:n].set(jnp.asarray(_load(path, "nbr0")))
+        idx.nbr0 = idx.nbr0.at[:n].set(jnp.asarray(_load(path, "nbr0", ep)))
         try:  # kept flags added in round 2; older checkpoints lack them
-            idx.kept0 = idx.kept0.at[:n].set(jnp.asarray(_load(path, "kept0")))
+            idx.kept0 = idx.kept0.at[:n].set(
+                jnp.asarray(_load(path, "kept0", ep)))
         except (FileNotFoundError, KeyError):
             # all-False kept flags drop the sticky heuristic-kept protection
             # that keeps IP graphs connected under incremental updates
@@ -233,25 +314,27 @@ def load_hnsw(table, path: str):
                 "inner-product indexes until the index is rebuilt.\n"
                 "HINT:  REINDEX to restore sticky neighbor protection."
             )
-        idx.up_slot[:n] = _load(path, "up_slot")
-        idx.levels[:n] = _load(path, "levels")
+        idx.up_slot[:n] = _load(path, "up_slot", ep)
+        idx.levels[:n] = _load(path, "levels", ep)
         # the saving index may have been built with a deeper unroll (its
         # capacity/m or env differed) — honor the stored levels
         idx._l_unroll = max(idx._l_unroll, int(idx.levels[:n].max(initial=0)))
-        idx.elem_rows[:n] = _load(path, "elem_rows")
+        idx.elem_rows[:n] = _load(path, "elem_rows", ep)
         vals = []
         for j, v in enumerate(idx.values):
-            vals.append(v.at[:n].set(jnp.asarray(_load(path, f"values{j}"))))
+            vals.append(v.at[:n].set(
+                jnp.asarray(_load(path, f"values{j}", ep))))
         idx.values = tuple(vals)
         for e in range(n):
             for r in idx.elem_rows[e]:
                 if r >= 0:
                     idx.row_to_elem[int(r)] = e
     if nu:
-        idx.nbr_up = idx.nbr_up.at[:nu].set(jnp.asarray(_load(path, "nbr_up")))
+        idx.nbr_up = idx.nbr_up.at[:nu].set(
+            jnp.asarray(_load(path, "nbr_up", ep)))
         try:
             idx.kept_up = idx.kept_up.at[:nu].set(
-                jnp.asarray(_load(path, "kept_up")))
+                jnp.asarray(_load(path, "kept_up", ep)))
         except (FileNotFoundError, KeyError):
             pass
     if idx.dedup and n:
@@ -267,20 +350,20 @@ def load_hnsw(table, path: str):
 
 
 def save_ivfflat(idx, path: str) -> None:
-    os.makedirs(path, exist_ok=True)
+    epoch = _begin_save(path)
     arrays = {
         "centroids_f32": idx.centroids_f32,
         "list_lens": idx.list_lens,
         "assignments": idx.assignments,
     }
-    _save_arrays(path, arrays)
+    _save_arrays(path, arrays, epoch)
     _write_manifest(path, {
         "object": "ivfflat",
         "metric": idx.metric.name,
         "lists": idx.lists,
         "seed": idx.seed,
         "is_bit": idx._is_bit,
-    })
+    }, epoch)
 
 
 def load_ivfflat(table, path: str):
@@ -292,7 +375,8 @@ def load_ivfflat(table, path: str):
         raise DataException(f'expected an ivfflat checkpoint, found "{m["object"]}"')
     idx = IVFFlatIndex(table, Metric[m["metric"]], lists=m["lists"],
                        seed=m["seed"], build=False)
-    idx.centroids_f32 = jnp.asarray(_load(path, "centroids_f32"))
+    ep = m.get("epoch", 0)
+    idx.centroids_f32 = jnp.asarray(_load(path, "centroids_f32", ep))
     if idx._is_bit:
         idx.centroids = D.pack_bits(idx.centroids_f32 > 0.5)
     else:
@@ -300,5 +384,5 @@ def load_ivfflat(table, path: str):
     # postings layout + the posting-ordered value copy are derived state —
     # rebuild from the assignment vector rather than persist (the
     # checkpoint stays small; one scatter + one gather at load)
-    idx._load_postings(_load(path, "assignments"))
+    idx._load_postings(_load(path, "assignments", ep))
     return idx

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import List, Sequence
 
 import numpy as np
@@ -35,10 +36,12 @@ import numpy as np
 from ..errors import DataException
 from ..store.table import BitTable, DenseTable, SparseTable
 # one bfloat16-as-tagged-uint16 file convention, owned by io.checkpoint
-from .checkpoint import _load as _load_arr, _save_arrays
+from .checkpoint import _fsync_dir, _load as _load_arr, _save_arrays
 
 _MAGIC = "pgvector-tpu-delta"
 _VERSION = 1
+# committed records only — a crashed append's "delta_NNN.tmp" must not match
+_DELTA_RE = re.compile(r"^delta_(\d{8})$")
 
 
 class ReplicationLog:
@@ -56,16 +59,51 @@ class ReplicationLog:
 
     def _entries(self) -> List[str]:
         return sorted(d for d in os.listdir(self.path)
-                      if d.startswith("delta_"))
+                      if _DELTA_RE.match(d))
 
     def _record(self, payload: dict, arrays: dict) -> None:
-        d = os.path.join(self.path, f"delta_{self.seq:08d}")
-        os.makedirs(d, exist_ok=True)
-        _save_arrays(d, arrays)
+        """Append one record crash-atomically: stage the whole record in a
+        hidden tmp dir (never matched by ``_entries``), fsync its contents,
+        then rename into place — the logical-WAL analogue of GenericXLog's
+        all-or-nothing page records (src/hnswinsert.c:695-743).  A crash
+        mid-append leaves at most an ignorable ``.tmp`` dir."""
+        final = os.path.join(self.path, f"delta_{self.seq:08d}")
+        tmp = final + ".tmp"
+        if os.path.isdir(tmp):  # leftover from a crashed append
+            for fn in os.listdir(tmp):
+                os.remove(os.path.join(tmp, fn))
+        else:
+            os.makedirs(tmp)
+        _save_arrays(tmp, arrays)  # fsyncs each array file
         payload.update({"magic": _MAGIC, "version": _VERSION, "seq": self.seq})
-        with open(os.path.join(d, "record.json"), "w") as f:
+        with open(os.path.join(tmp, "record.json"), "w") as f:
             json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        _fsync_dir(tmp)
+        os.rename(tmp, final)
+        _fsync_dir(self.path)
         self.seq += 1
+
+    def prune(self, upto_seq: int) -> int:
+        """Drop records with seq < ``upto_seq`` (a checkpoint base already
+        containing their effects — take ``log.seq`` right after saving the
+        checkpoint and pass it here).  Replicas bootstrapped from that
+        checkpoint replay with ``start_seq=upto_seq``; older replicas will
+        hit the gap check in :func:`apply_deltas` and re-bootstrap instead
+        of silently diverging.  Returns the number of records removed."""
+        removed = 0
+        for name in self._entries():
+            if int(name.split("_")[1]) >= upto_seq:
+                break
+            d = os.path.join(self.path, name)
+            for fn in os.listdir(d):
+                os.remove(os.path.join(d, fn))
+            os.rmdir(d)
+            removed += 1
+        if removed:
+            _fsync_dir(self.path)
+        return removed
 
     # ------------------------------------------------------------- producers
     def log_insert(self, table, rows: Sequence[int]) -> None:
@@ -106,7 +144,7 @@ def apply_deltas(table, indexes, path: str, start_seq: int = 0) -> int:
     re-copying full snapshots).  The replica must have started from the
     same base state the log's records assume; a row-id mismatch on replay
     means it did not and raises."""
-    entries = sorted(d for d in os.listdir(path) if d.startswith("delta_"))
+    entries = sorted(d for d in os.listdir(path) if _DELTA_RE.match(d))
     seq = start_seq
     for name in entries:
         rec_seq = int(name.split("_")[1])

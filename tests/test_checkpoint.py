@@ -151,3 +151,124 @@ def test_resave_dtype_switch_removes_stale_variant(tmp_path, rng):
     assert got2.dtype == jnp.bfloat16
     np.testing.assert_allclose(
         np.asarray(got2.data[:4]).astype(np.float32), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# crash atomicity — the GenericXLog-equivalence story (every reference page
+# mutation is WAL'd so a crash recovers to a consistent image,
+# src/hnswinsert.c:695-743).  Saves commit by atomically replacing the
+# manifest AFTER all epoch-tagged array files are fsynced; a kill at any
+# point must load as either the old state or the new one, never a mix.
+# ---------------------------------------------------------------------------
+
+
+def _make_table(value: float) -> DenseTable:
+    t = DenseTable(8)
+    t.insert(np.full((4, 8), value, np.float32))
+    return t
+
+
+def test_crash_during_array_write_keeps_old_state(tmp_path, monkeypatch):
+    p = str(tmp_path / "t")
+    save_table(_make_table(1.0), p)
+    calls = {"n": 0}
+    real_save = np.save
+
+    def dying_save(f, a, *args, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # die midway through the new epoch's arrays
+            raise KeyboardInterrupt("simulated kill -9")
+        return real_save(f, a, *args, **kw)
+
+    monkeypatch.setattr(np, "save", dying_save)
+    with pytest.raises(KeyboardInterrupt):
+        save_table(_make_table(2.0), p)
+    monkeypatch.undo()
+    got = load_table(p)  # old epoch still committed
+    np.testing.assert_allclose(np.asarray(got.data[:4]), 1.0)
+    # and a post-crash save skips past the orphaned epoch and commits clean
+    save_table(_make_table(3.0), p)
+    np.testing.assert_allclose(np.asarray(load_table(p).data[:4]), 3.0)
+
+
+def test_crash_before_manifest_commit_keeps_old_state(tmp_path, monkeypatch):
+    import os as _os
+
+    p = str(tmp_path / "t")
+    save_table(_make_table(1.0), p)
+
+    def no_replace(src, dst):
+        raise KeyboardInterrupt("simulated kill between fsync and commit")
+
+    monkeypatch.setattr(_os, "replace", no_replace)
+    with pytest.raises(KeyboardInterrupt):
+        save_table(_make_table(2.0), p)
+    monkeypatch.undo()
+    np.testing.assert_allclose(np.asarray(load_table(p).data[:4]), 1.0)
+
+
+def test_crash_during_first_save_is_a_clear_error(tmp_path, monkeypatch):
+    p = str(tmp_path / "t")
+    monkeypatch.setattr(np, "save",
+                        lambda *a, **k: (_ for _ in ()).throw(KeyboardInterrupt))
+    with pytest.raises(KeyboardInterrupt):
+        save_table(_make_table(1.0), p)
+    monkeypatch.undo()
+    with pytest.raises(DataException, match="no manifest"):
+        load_table(p)
+
+
+def test_committed_save_survives_gc_crash(tmp_path, monkeypatch):
+    """A kill after the manifest replace but before old-epoch GC leaves
+    orphans that loads ignore and the next save cleans up."""
+    import os as _os
+
+    p = str(tmp_path / "t")
+    save_table(_make_table(1.0), p)
+    monkeypatch.setattr(_os, "remove",
+                        lambda *a: (_ for _ in ()).throw(KeyboardInterrupt))
+    try:
+        save_table(_make_table(2.0), p)  # GC failure must not lose the commit
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.undo()
+    np.testing.assert_allclose(np.asarray(load_table(p).data[:4]), 2.0)
+    save_table(_make_table(3.0), p)
+    np.testing.assert_allclose(np.asarray(load_table(p).data[:4]), 3.0)
+    # the orphaned epoch-1 files are gone after the clean save
+    import re as _re
+
+    leftover = [f for f in _os.listdir(p)
+                if f.endswith(".npy") and not _re.search(r"\.3(\.bf16)?\.npy$", f)]
+    assert leftover == []
+
+
+def test_hnsw_crash_during_resave_keeps_old_graph(tmp_path, rng, monkeypatch):
+    db = rng.normal(size=(300, 8)).astype(np.float32)
+    t = DenseTable(8)
+    t.insert(db)
+    idx = HNSWIndex(t, Metric.L2, m=8, ef_construction=32, wave_size=64)
+    p = str(tmp_path / "h")
+    save_hnsw(idx, p)
+    q = rng.normal(size=(5, 8)).astype(np.float32)
+    d_before, r_before = idx.search(q, 5, ef_search=40)
+    # mutate the index, then die mid-resave
+    rows = t.insert(rng.normal(size=(20, 8)).astype(np.float32))
+    idx.insert(rows)
+    calls = {"n": 0}
+    real_save = np.save
+
+    def dying_save(f, a, *args, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 4:
+            raise KeyboardInterrupt
+        return real_save(f, a, *args, **kw)
+
+    monkeypatch.setattr(np, "save", dying_save)
+    with pytest.raises(KeyboardInterrupt):
+        save_hnsw(idx, p)
+    monkeypatch.undo()
+    idx2 = load_hnsw(t, p)
+    assert idx2.live_elements == 300  # pre-crash graph, intact
+    d2, r2 = idx2.search(q, 5, ef_search=40)
+    assert np.allclose(d_before, d2) and (np.asarray(r_before) == np.asarray(r2)).all()

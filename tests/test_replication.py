@@ -175,3 +175,70 @@ def test_apply_deltas_rejects_gaps_and_log_resumes_past_gaps(tmp_path, rng):
     # seq resumes from max+1, not the entry count (which would collide)
     log2 = ReplicationLog(str(tmp_path / "log"))
     assert log2.seq == 3
+
+
+def test_crashed_append_is_invisible_and_recoverable(tmp_path, monkeypatch):
+    """A kill mid-append leaves only a delta_NNN.tmp staging dir: replicas
+    never see it, the log re-opens at the right seq, and the retried append
+    lands cleanly (the GenericXLog all-or-nothing record analogue)."""
+    import os as _os
+
+    rng = np.random.default_rng(33)
+    db = rng.normal(size=(60, 6)).astype(np.float32)
+    table = DenseTable(6)
+    rows0 = table.insert(db[:30])
+    log = ReplicationLog(str(tmp_path / "log"))
+    log.log_insert(table, rows0)
+
+    rows1 = table.insert(db[30:])
+    real_save = np.save
+    monkeypatch.setattr(np, "save",
+                        lambda *a, **k: (_ for _ in ()).throw(KeyboardInterrupt))
+    with pytest.raises(KeyboardInterrupt):
+        log.log_insert(table, rows1)
+    monkeypatch.setattr(np, "save", real_save)
+    # the torn record is staged, not committed
+    names = sorted(_os.listdir(tmp_path / "log"))
+    assert "delta_00000001.tmp" in names and "delta_00000001" not in names
+    # replicas replay only committed records
+    r_table = DenseTable(6)
+    assert apply_deltas(r_table, [], str(tmp_path / "log")) == 1
+    assert r_table.live_count == 30
+    # a re-opened log resumes at the torn seq and the retry overwrites the
+    # stale staging dir
+    log2 = ReplicationLog(str(tmp_path / "log"))
+    assert log2.seq == 1
+    log2.log_insert(table, rows1)
+    assert apply_deltas(r_table, [], str(tmp_path / "log"), start_seq=1) == 2
+    assert r_table.live_count == 60
+
+
+def test_prune_up_to_checkpoint_base(tmp_path):
+    """Delta-log pruning: records already baked into a checkpoint base are
+    dropped; replicas bootstrapped from that base replay the tail, while a
+    stale replica hits the gap check instead of silently diverging."""
+    rng = np.random.default_rng(34)
+    db = rng.normal(size=(90, 6)).astype(np.float32)
+    table = DenseTable(6)
+    log = ReplicationLog(str(tmp_path / "log"))
+    for lo in (0, 30, 60):
+        rows = table.insert(db[lo:lo + 30])
+        log.log_insert(table, rows)
+    # checkpoint after the second record; prune everything it contains
+    # (the base-seq handshake: snapshot log.seq at save time)
+    chk_table = DenseTable(6)
+    base_seq = apply_deltas(chk_table, [], str(tmp_path / "log"))
+    assert base_seq == 3
+    save_table(chk_table, str(tmp_path / "base"))
+    rows = table.insert(rng.normal(size=(10, 6)).astype(np.float32))
+    log.log_insert(table, rows)  # seq 3, after the base
+    assert log.prune(base_seq) == 3
+    # fresh replica from the base catches up from the pruned tail
+    r = load_table(str(tmp_path / "base"))
+    assert apply_deltas(r, [], str(tmp_path / "log"), start_seq=base_seq) == 4
+    assert r.live_count == 100
+    # a stale replica (start_seq=0) is rejected, not silently diverged
+    from pgvector_tpu.errors import DataException
+
+    with pytest.raises(DataException, match="gap"):
+        apply_deltas(DenseTable(6), [], str(tmp_path / "log"), start_seq=0)
