@@ -23,6 +23,8 @@ not total-order lookups.
 from __future__ import annotations
 
 import bisect
+import functools
+import heapq
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -32,19 +34,31 @@ from ..store.table import BitTable, DenseTable, SparseTable
 from ..types import Bit, HalfVec, SparseVec, Vector
 
 
-def _dense_key(row: np.ndarray) -> bytes:
-    """IEEE-754 total-order byte key: big-endian transformed uint32 per
-    element; byte order == elementwise float order for finite floats."""
-    x = np.asarray(row, np.float32)
+def _dense_keys(block: np.ndarray) -> List[bytes]:
+    """IEEE-754 total-order byte keys for a (R, D) block: big-endian
+    transformed uint32 per element; byte order == elementwise float order
+    for finite floats.  Batched so callers pay one device→host transfer
+    per block, not per row."""
+    x = np.ascontiguousarray(np.atleast_2d(block), np.float32)
     x = np.where(x == 0.0, np.float32(0.0), x)  # -0.0 == +0.0 (vector.c:1060)
     bits = x.view(np.uint32)
     neg = bits >> 31 == 1
-    t = np.where(neg, ~bits, bits | np.uint32(0x80000000)).astype(np.uint32)
-    return t.astype(">u4").tobytes()
+    t = np.where(neg, ~bits, bits | np.uint32(0x80000000)).astype(">u4")
+    return [row.tobytes() for row in t]
+
+
+def _dense_key(row: np.ndarray) -> bytes:
+    return _dense_keys(np.asarray(row, np.float32)[None])[0]
 
 
 def _bit_key(words: np.ndarray, dim: int) -> bytes:
     return np.asarray(words, np.uint32).astype(">u4").tobytes()
+
+
+def _sparse_item_cmp(a: Tuple, b: Tuple) -> int:
+    """Total order on (SparseVec key, row id) pairs (sparsevec.c:1189-1280
+    as-if-dense compare, row id as tie-break)."""
+    return a[0].compare(b[0]) or (a[1] - b[1])
 
 
 class OrderedIndex:
@@ -65,18 +79,28 @@ class OrderedIndex:
             self.build()
 
     # ------------------------------------------------------------------ keys
-    def _row_key(self, row: int):
+    def _row_keys(self, rows: np.ndarray) -> List:
+        """Keys for a row-id batch — one device gather + host transfer for
+        the whole batch (per-row transfers made build/insert O(rows) in
+        dispatch latency)."""
         t = self.table
         if isinstance(t, DenseTable):
-            return _dense_key(np.asarray(t.data[row], np.float32))
+            return _dense_keys(np.asarray(t.data[rows], np.float32))
         if isinstance(t, BitTable):
-            return _bit_key(np.asarray(t.data[row]), t.dim)
-        idx = np.asarray(t.idx[row])
-        val = np.asarray(t.val[row])
+            w = np.asarray(t.data[rows], np.uint32).astype(">u4")
+            return [r.tobytes() for r in np.atleast_2d(w)]
+        idx_b = np.atleast_2d(np.asarray(t.idx[rows]))
+        val_b = np.atleast_2d(np.asarray(t.val[rows]))
         from ..ops.distance import SPARSE_PAD
 
-        live = idx != int(SPARSE_PAD)
-        return SparseVec(t.dim, idx[live], val[live], _checked=True)
+        pad = int(SPARSE_PAD)
+        return [
+            SparseVec(t.dim, i[i != pad], v[i != pad], _checked=True)
+            for i, v in zip(idx_b, val_b)
+        ]
+
+    def _row_key(self, row: int):
+        return self._row_keys(np.asarray([row], np.int64))[0]
 
     def _value_key(self, value):
         t = self.table
@@ -108,36 +132,47 @@ class OrderedIndex:
         return value
 
     # ----------------------------------------------------------------- build
+    @staticmethod
+    def _sort_items(items: List[Tuple]) -> None:
+        """Sort (key, row-id) pairs in place; sparse keys are compare-based,
+        bytes keys are memcmp — tie-break on row id for a deterministic
+        scan order."""
+        if items and isinstance(items[0][0], SparseVec):
+            items.sort(key=functools.cmp_to_key(_sparse_item_cmp))
+        else:
+            items.sort()
+
     def build(self) -> None:
         t = self.table
         live = np.flatnonzero(np.asarray(t.valid[: t.count]))
-        # one sort; sparse keys are compare-based, bytes keys are memcmp —
-        # tie-break on row id for a deterministic scan order
-        items = [(self._row_key(int(r)), int(r)) for r in live]
-        if items and isinstance(items[0][0], SparseVec):
-            import functools
-
-            items.sort(key=functools.cmp_to_key(
-                lambda a, b: a[0].compare(b[0]) or (a[1] - b[1])))
-        else:
-            items.sort()
+        items = list(zip(self._row_keys(live), (int(r) for r in live)))
+        self._sort_items(items)
         self._keys = [k for k, _ in items]
         self._rows = [r for _, r in items]
 
     # -------------------------------------------------------------- mutation
     def insert(self, rows) -> None:
-        for r in np.atleast_1d(np.asarray(rows, np.int64)):
-            key = self._row_key(int(r))
-            # preserve build()'s (key, row-id) order within equal-key runs:
-            # bisecting on key alone would append after existing duplicates,
-            # making an incrementally-maintained index scan duplicates in a
-            # different order than a rebuilt one
-            lo = self._bisect(key, side="left")
-            hi = self._bisect(key, side="right")
-            # bisect with lo/hi bounds returns an ABSOLUTE position
-            pos = bisect.bisect_right(self._rows, int(r), lo, hi)
-            self._keys.insert(pos, key)
-            self._rows.insert(pos, int(r))
+        """Bulk insert: sort the batch once, then single-pass sorted-merge
+        with the existing permutation — O(n + b·log b) for a b-row batch
+        instead of O(n·b) per-row list.insert.  The merge keys on
+        (key, row-id), preserving build()'s order within equal-key runs so
+        an incrementally maintained index scans duplicates identically to
+        a rebuilt one."""
+        rows = np.atleast_1d(np.asarray(rows, np.int64))
+        if rows.size == 0:
+            return
+        items = list(zip(self._row_keys(rows), (int(r) for r in rows)))
+        self._sort_items(items)
+        if not self._keys:
+            merged = items
+        elif isinstance(items[0][0], SparseVec):
+            merged = list(heapq.merge(
+                zip(self._keys, self._rows), items,
+                key=functools.cmp_to_key(_sparse_item_cmp)))
+        else:
+            merged = list(heapq.merge(zip(self._keys, self._rows), items))
+        self._keys = [k for k, _ in merged]
+        self._rows = [r for _, r in merged]
 
     def vacuum(self) -> None:
         valid = np.asarray(self.table.valid)

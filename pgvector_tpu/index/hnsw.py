@@ -99,6 +99,7 @@ class HNSWIndex:
         notice_hook=None,
         progress=None,
         capacity: Optional[int] = None,
+        build_mesh=None,
     ):
         if not MIN_M <= m <= MAX_M:
             raise DataException(f'value {m} out of bounds for option "m"')
@@ -123,6 +124,12 @@ class HNSWIndex:
         #: "incremental" = the reference's per-source one-eviction fold
         #: (hnswutils.c:1181-1229)
         self.backlink_mode = backlink_mode
+        #: optional jax.sharding.Mesh: wave searches (the dominant build
+        #: cost) run data-parallel over its first axis, building ONE graph
+        #: with bit-identical results — the SPMD counterpart of the
+        #: reference's multi-process shared-memory build
+        #: (hnswbuild.c:925-1062); see K.wave_search_sharded
+        self.build_mesh = build_mesh
         self.dedup = dedup
         self.notice_hook = notice_hook or (lambda msg: None)
         self.progress = progress or Progress()
@@ -252,6 +259,8 @@ class HNSWIndex:
         #: adjacency-packed neighbor values for the scan path (lazily
         #: built, invalidated by any graph mutation)
         self._nbr_vals: Optional[jnp.ndarray] = None
+        #: cached (D, D') sketch projection for the projected packed scan
+        self._sketch_P: Optional[jnp.ndarray] = None
 
     def _sync_device_meta(self) -> None:
         if self._dirty:
@@ -490,10 +499,16 @@ class HNSWIndex:
             pair = 4 * c * c           # popcount block fuses (measured at 1M)
         else:
             rep = 8 * self.table.nnz_cap
-            # the merge-join pairwise materializes (c, c, nnz_lanes) idx+val
-            # gather temps per row — searchsorted gathers defeat XLA fusion
-            # (measured 36.5 GB compile-OOM at 2048 rows, nnz 32)
-            pair = c * c * self._nnz_lanes() * 8
+            if self._pair_sdim():
+                # densified pairwise: (c, sdim) f32 scatter block + the
+                # (c, c) matmul output (×2 covers scatter temps)
+                pair = c * self.table.dim * 4 * 2 + 4 * c * c
+            else:
+                # the merge-join pairwise materializes (c, c, nnz_lanes)
+                # idx+val gather temps per row — searchsorted gathers
+                # defeat XLA fusion (measured 36.5 GB compile-OOM at
+                # 2048 rows, nnz 32)
+                pair = c * c * self._nnz_lanes() * 8
         per_q = (
             4 * h                      # visited table
             + pair                     # pairwise select block
@@ -505,15 +520,35 @@ class HNSWIndex:
     def _nnz_lanes(self) -> int:
         return ((self.table.nnz_cap + 127) // 128) * 128
 
+    def _pair_sdim(self) -> int:
+        """Logical dim to densify sparse pairwise-select blocks at, or 0
+        for the merge-join path.  Densify (scatter CSR rows to dense
+        (C, dim) lanes + one MXU matmul — K._pairwise_dists) when the
+        dense row is smaller than the per-candidate merge-join gather
+        temps: dim·4 < C·nnz_lanes·8.  At nnz 32, C 128 that's any
+        dim < 32,768 — covering typical sparse embedding dims while
+        million-dim sparsevecs keep the gather path.  L1 has no matmul
+        form, so it always merge-joins."""
+        if self.kind != "sparse" or self.metric is Metric.L1:
+            return 0
+        c = ((self.ef_construction + min(self.m, self.wave_size) + 127)
+             // 128) * 128
+        dim = int(self.table.dim)
+        return dim if dim * 4 < c * self._nnz_lanes() * 8 else 0
+
     def _sparse_pair_rows_cap(self) -> int:
-        """Max rows per pairwise sparse select/merge call: the
-        (rows, C, C, nnz_lanes) f32+i32 merge-join gather temps must stay
-        under ``hnsw.sparse_pair_bytes`` of HBM transients (default 2 GB;
-        the PGVECTOR_TPU_SPARSE_PAIR_BYTES env var seeds the knob at
+        """Max rows per pairwise sparse select/merge call: the transients
+        — (rows, C, sdim) densified blocks, or (rows, C, C, nnz_lanes)
+        merge-join gather temps — must stay under
+        ``hnsw.sparse_pair_bytes`` of HBM (default 2 GB; the
+        PGVECTOR_TPU_SPARSE_PAIR_BYTES env var seeds the knob at
         import — see _wave_bytes)."""
         c = ((self.ef_construction + min(self.m, self.wave_size) + 127)
              // 128) * 128
-        per_row = c * c * self._nnz_lanes() * 8
+        if self._pair_sdim():
+            per_row = c * self.table.dim * 4 * 2 + 4 * c * c
+        else:
+            per_row = c * c * self._nnz_lanes() * 8
         # Bounded because the axon remote worker has died (hard process
         # crash, not RESOURCE_EXHAUSTED) on large merge-join gather temps —
         # a smaller bound trades dispatch count for headroom (BENCH_NOTES
@@ -647,6 +682,21 @@ class HNSWIndex:
         e_pad = np.concatenate([elems, np.full(nq_pad - nq, elems[0], elems.dtype)])
         lv_pad = np.concatenate([lv, np.zeros(nq_pad - nq, lv.dtype)])
         qs = self._elems_as_queries(jnp.asarray(e_pad.astype(np.int32)))
+        mesh = self.build_mesh
+        if (mesh is not None and len(mesh.devices.flat) > 1
+                and nq_pad % len(mesh.devices.flat) == 0
+                and not K.use_host_loop()):
+            out_d, out_i = K.wave_search_sharded(
+                mesh, self.kind, self.metric, self.values,
+                self.nbr0, self.nbr_up, self._up_slot_dev,
+                qs, jnp.asarray(e_pad.astype(np.int32)),
+                jnp.asarray(lv_pad.astype(np.int32)),
+                jnp.int32(self.entry), jnp.int32(self.entry_level),
+                ef=self.ef_construction, m=self.m,
+                l_unroll=self._l_unroll, exclude_self=exclude_self,
+                expand=self.beam_expand, vmode=K.visited_mode(),
+            )
+            return out_d, out_i, nq, nq_pad
         wave_fn = K.wave_search_host if K.use_host_loop() else K.wave_search
         out_d, out_i = wave_fn(
             self.kind, self.metric, self.values,
@@ -729,6 +779,7 @@ class HNSWIndex:
                         pd, pi,
                         level0=(lc == 0), m=self.m,
                         mi=min(self.m, b_lvl), smax=lm, chunk=chunk,
+                        sdim=self._pair_sdim(),
                     )
 
     def _insert_wave(self, elems: np.ndarray, lv: np.ndarray) -> None:
@@ -772,6 +823,7 @@ class HNSWIndex:
                 intra_d, intra_i = K.intra_wave_candidates(
                     self.kind, self.metric, self.values, e_dev,
                     jnp.asarray(lv >= lc), min(self.m, len(elems)),
+                    sdim=self._pair_sdim(),
                 )
                 pd = jnp.concatenate([pd, intra_d], axis=1)
                 pi = jnp.concatenate([pi, intra_i], axis=1)
@@ -805,7 +857,8 @@ class HNSWIndex:
     def _select_for(self, base_elems, pool_d, pool_i, lm: int) -> jnp.ndarray:
         """SelectNeighbors over each base element's candidate pool."""
         return K.select_connections(
-            self.kind, self.metric, self.values, base_elems, pool_d, pool_i, lm
+            self.kind, self.metric, self.values, base_elems, pool_d, pool_i,
+            lm, sdim=self._pair_sdim(),
         )
 
     def _write_own_lists(self, elems: np.ndarray, level: int,
@@ -870,7 +923,7 @@ class HNSWIndex:
                      else K.merge_backlinks_wholesale)
             new_lists, new_kept = merge(
                 self.kind, self.metric, self.values, old, old_kept,
-                jnp.asarray(new_src), t_dev, lm,
+                jnp.asarray(new_src), t_dev, lm, sdim=self._pair_sdim(),
             )
             real = jnp.asarray(t_chunk)
             new_real = new_lists[: len(t_chunk)]
@@ -933,12 +986,25 @@ class HNSWIndex:
         return pool_bytes + 4 * K.visited_capacity(ef)
 
     def _packed_dtype(self):
-        """Scan-path value packing mode (PGVECTOR_TPU_PACKED_SCAN:
-        auto/off/f32/bf16).  ``auto`` packs dense indexes on TPU when the
-        duplicated (cap, 2m, D) copy fits a conservative HBM budget —
-        f32 when small enough (bit-exact vs the row-gather path), bf16 at
-        1M×128-d scale (≤8 GB; exact f32 re-rank restores final ordering),
-        off beyond (e.g. 1M×960-d would need 61 GB)."""
+        """Scan-path value packing dtype (see _packed_plan)."""
+        return self._packed_plan()[0]
+
+    def _packed_plan(self):
+        """Scan-path value packing plan: (dtype | None, sketch_dim).
+
+        PGVECTOR_TPU_PACKED_SCAN: auto/off/f32/bf16/sketch.  ``auto``
+        packs dense indexes on TPU when the duplicated (cap, 2m, D) copy
+        fits a conservative HBM budget — f32 when small enough (bit-exact
+        vs the row-gather path), bf16 at 1M×128-d scale (≤8 GB; exact f32
+        re-rank restores final ordering).  Beyond that (e.g. 1M×960-d
+        needs 61 GB f32 / 30.5 GB bf16 — over a v5e's 16 GB even int4),
+        ``auto`` falls back to a **sketched** cache: neighbor values
+        randomly projected D→D' (PGVECTOR_TPU_SKETCH_DIM, default the
+        largest 128-multiple whose bf16 cache fits the budget) so hops
+        still ride contiguous slab gathers; pool admission is then
+        approximate (JL-distorted) and the exact-f32 re-rank of the final
+        pool restores the emitted ordering.  sketch_dim == 0 means the
+        cache holds full-width values."""
         import os
 
         mode = os.environ.get("PGVECTOR_TPU_PACKED_SCAN", "auto")
@@ -946,30 +1012,67 @@ class HNSWIndex:
             # only dense rows can be value-packed: bit tables store packed
             # uint32 words and sparse tables (idx, val) pairs — forcing the
             # mode on those would feed the wrong layout to the dense scorer
-            return None
+            return None, 0
         if mode in ("f32", "bf16"):
-            return jnp.float32 if mode == "f32" else jnp.bfloat16
+            return (jnp.float32 if mode == "f32" else jnp.bfloat16), 0
+        if mode == "sketch":
+            return jnp.bfloat16, self._sketch_dim()
         if jax.default_backend() != "tpu":
-            return None
+            return None, 0
         f32_bytes = self.cap_e * 2 * self.m * self.table.dim * 4
         if f32_bytes <= 2 << 30:
-            return jnp.float32
+            return jnp.float32, 0
         if f32_bytes // 2 <= 9 << 30:
-            return jnp.bfloat16
-        return None
+            return jnp.bfloat16, 0
+        sk = self._sketch_dim()
+        if sk and self.metric in (Metric.L2, Metric.IP, Metric.COSINE):
+            return jnp.bfloat16, sk
+        return None, 0
 
-    def _ensure_nbr_vals(self, dtype):
-        """Materialize nbr_vals[cap, 2m, D] = values[nbr0] — each element's
-        neighbor value block as one contiguous slab (the scan then gathers
-        Q·expand slabs per hop instead of Q·expand·2m random rows).  One
-        chunked gather pass; rebuilt lazily after graph mutations."""
-        if self._nbr_vals is not None and self._nbr_vals.dtype == dtype:
+    def _sketch_dim(self) -> int:
+        """Sketch width D' for the projected packed cache: explicit
+        PGVECTOR_TPU_SKETCH_DIM, else the largest 128-multiple whose
+        (cap, 2m, D') bf16 cache stays ≤ 9 GB; 0 when even 128 doesn't
+        fit or wouldn't compress (D' ≥ D)."""
+        import os
+
+        explicit = int(os.environ.get("PGVECTOR_TPU_SKETCH_DIM", 0))
+        if explicit:
+            return explicit
+        per_dim = self.cap_e * 2 * self.m * 2  # bf16 bytes per sketch dim
+        sk = ((9 << 30) // per_dim) // 128 * 128
+        sk = min(sk, 256)  # diminishing recall returns past 256 lanes
+        return sk if 0 < sk < self.table.dim else 0
+
+    def _sketch_proj(self, sk: int) -> jnp.ndarray:
+        """Deterministic (D, D') Gaussian projection, scaled so sketched
+        L2/IP are unbiased estimates of the full-width values (JL)."""
+        if self._sketch_P is None or self._sketch_P.shape[1] != sk:
+            rng = np.random.default_rng(0x5EEDC0DE)
+            p = rng.normal(size=(self.table.dim, sk)).astype(np.float32)
+            self._sketch_P = jnp.asarray(p / np.sqrt(sk))
+        return self._sketch_P
+
+    def _ensure_nbr_vals(self, dtype, sketch: int = 0):
+        """Materialize nbr_vals[cap, 2m, D'] = values'[nbr0] — each
+        element's neighbor value block as one contiguous slab (the scan
+        then gathers Q·expand slabs per hop instead of Q·expand·2m random
+        rows).  ``sketch`` > 0 projects values D→D' first (_sketch_proj).
+        One chunked gather pass; rebuilt lazily after graph mutations."""
+        if (self._nbr_vals is not None and self._nbr_vals.dtype == dtype
+                and self._nbr_vals.shape[-1] == (sketch or self.table.dim)):
             return self._nbr_vals
         vecs = self.values[0]
+        if sketch:
+            p = self._sketch_proj(sketch)
+            vecs = jnp.concatenate(
+                [vecs[s: s + (1 << 18)].astype(jnp.float32) @ p
+                 for s in range(0, vecs.shape[0], 1 << 18)]).astype(dtype)
         chunk = min(1 << 16, self.cap_e)
         # fill a donated buffer chunk-by-chunk: the packed copy is up to
         # ~8 GB at 1M×128-d — concatenation would transiently double it
-        out = jnp.zeros((self.cap_e, 2 * self.m, self.table.dim), dtype)
+        out = jnp.zeros((self.cap_e, 2 * self.m, sketch or self.table.dim),
+                        dtype)
         for s in range(0, self.cap_e, chunk):
             nb = jax.lax.dynamic_slice(
                 self.nbr0, (s, 0), (min(chunk, self.cap_e - s),
@@ -982,8 +1085,13 @@ class HNSWIndex:
         self._sync_device_meta()
         if fmask is None:
             fmask = jnp.ones(self.table.capacity, jnp.bool_)
-        pdt = self._packed_dtype()
-        packed_vals = self._ensure_nbr_vals(pdt) if pdt is not None else None
+        pdt, sketch = self._packed_plan()
+        packed_vals = (self._ensure_nbr_vals(pdt, sketch)
+                       if pdt is not None else None)
+        qs_packed = None
+        if packed_vals is not None and sketch:
+            qs_packed = (qs.astype(jnp.float32)
+                         @ self._sketch_proj(sketch)).astype(pdt)
         query_fn = K.query_search_host if K.use_host_loop() else K.query_search
         d, r, steps = query_fn(
             self.kind, self.metric, self.values,
@@ -995,7 +1103,8 @@ class HNSWIndex:
             heaptids=HEAPTIDS, expand=self.beam_expand,
             vmode=K.visited_mode(),
             packed_vals=packed_vals,
-            rerank=(pdt is not None and pdt != jnp.float32),
+            qs_packed=qs_packed,
+            rerank=(pdt is not None and (pdt != jnp.float32 or sketch > 0)),
             # experimental straggler cap: bound layer-0 hops (recall trade)
             max_steps=int(__import__("os").environ.get(
                 "PGVECTOR_TPU_QUERY_MAX_STEPS", 0)),
@@ -1087,22 +1196,18 @@ class HNSWIndex:
                 )
         #: iterative resume rounds of the last scan — stats.searches input
         self._last_scan_rounds = batches
-        # merge batches: per-query dedup (keep first occurrence — batch
-        # order mirrors emission order), sort by distance, take k
+        # merge batches on device: dedup (duplicate emissions carry
+        # identical distances), sort by distance, take k — one jitted call
+        # for the whole query batch, no per-query host work
         all_d = np.concatenate(acc_d, axis=1)
         all_r = np.concatenate(acc_r, axis=1)
+        kc = min(k, all_r.shape[1])
+        m_d, m_r = K.merge_scan_batches(
+            jnp.asarray(all_d, jnp.float32), jnp.asarray(all_r), kc)
         out_d = np.full((nq, k), np.inf, np.float32)
         out_r = np.full((nq, k), -1, np.int64)
-        for qi in range(nq):
-            rows = all_r[qi]
-            dists = all_d[qi]
-            ok = rows >= 0
-            rows, dists = rows[ok], dists[ok]
-            _, first = np.unique(rows, return_index=True)
-            rows, dists = rows[first], dists[first]
-            order = np.argsort(dists, kind="stable")[:k]
-            out_d[qi, : len(order)] = dists[order]
-            out_r[qi, : len(order)] = rows[order]
+        out_d[:, :kc] = np.asarray(m_d)
+        out_r[:, :kc] = np.asarray(m_r)
         return out_d, out_r
 
     def _user_dist(self, stored: jnp.ndarray) -> jnp.ndarray:
@@ -1243,12 +1348,12 @@ class HNSWIndex:
 
 
 def _count_found(acc_r: List[np.ndarray], nq: int) -> np.ndarray:
-    """Distinct result rows collected so far per query."""
-    allr = np.concatenate(acc_r, axis=1)
-    return np.array(
-        [len(np.unique(allr[qi][allr[qi] >= 0])) for qi in range(nq)],
-        np.int64,
-    )
+    """Distinct result rows collected so far per query (vectorized — one
+    sort over the whole batch, no per-query host loop)."""
+    s = np.sort(np.concatenate(acc_r, axis=1), axis=1)
+    new = np.concatenate(
+        [s[:, :1] >= 0, (s[:, 1:] != s[:, :-1]) & (s[:, 1:] >= 0)], axis=1)
+    return new.sum(axis=1, dtype=np.int64)
 
 
 def _dup_keys(host_vals: List[np.ndarray]) -> List[bytes]:

@@ -332,14 +332,18 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     iterative scans, hnswutils.c:936-971).  Returned as the last element
     when given.
 
-    ``packed`` — optional adjacency-packed neighbor values
-    ``nbr_vals[cap, 2m, D]``: each expanded node's whole neighbor value
-    block is one contiguous slab, so the hop gathers Q·expand slabs
-    instead of Q·expand·2m random rows.  The per-hop score gather is the
-    measured single-chip floor (~20 ns/row at 1M, row-count-bound —
+    ``packed`` — optional ``(nbr_vals, qs_p)`` adjacency-packed neighbor
+    values ``nbr_vals[cap, 2m, D']`` plus the query representation to
+    score them against: each expanded node's whole neighbor value block
+    is one contiguous slab, so the hop gathers Q·expand slabs instead of
+    Q·expand·2m random rows.  The per-hop score gather is the measured
+    single-chip floor (~20 ns/row at 1M, row-count-bound —
     BENCH_NOTES.md); slab packing cuts gathered rows 2m-fold at the cost
     of a duplicated value copy (bf16 keeps it ≤8 GB at 1M×128-d, with an
-    exact f32 re-rank of the final pool restoring exact ordering)."""
+    exact f32 re-rank of the final pool restoring exact ordering).
+    ``qs_p`` is normally the query batch itself; for large dims the cache
+    may hold *sketched* (randomly projected D→D') values, and ``qs_p``
+    is then the same projection of the queries (hnsw.py:_sketch_dim)."""
     nq = pool_d.shape[0]
     cand_mask = (~pool_x) & (pool_i >= 0)
     cand_d = jnp.where(cand_mask, pool_d, jnp.inf)
@@ -373,7 +377,7 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     nbrs = nb.reshape(nq, -1)
     if packed is not None:
         # ---- packed-adjacency scoring path ----
-        (nbr_vals,) = packed
+        nbr_vals, qs_p = packed
         w = nbrs.shape[1]
         pv = nbr_vals[jnp.maximum(sel_flat, 0)]  # (Q·E, lm, D) slab gather
         v = pv.reshape(nq, w, pv.shape[-1])
@@ -382,7 +386,7 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
             # (bit-identical to the unfused path — pallas_hop docstring)
             from ..ops import pallas_hop
 
-            nd = dense_point_scores(metric, qs, v, nbrs)
+            nd = dense_point_scores(metric, qs_p, v, nbrs)
             pool_packed = pool_i * 2 + pool_x.astype(jnp.int32)
             d, pp = pallas_hop.hop_tail(pool_d, pool_packed, nd, nbrs,
                                         ef, w)
@@ -400,7 +404,7 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
         nbrs = jnp.where(in_pool, -1, nbrs)
         visited, seen = visited_probe(visited, nbrs, vmode)
         nbrs = jnp.where(seen, -1, nbrs)
-        nd = dense_point_scores(metric, qs, v, nbrs)
+        nd = dense_point_scores(metric, qs_p, v, nbrs)
         return _hop_merge(pool_d, pool_i, pool_x, nbrs, nd, visited, ef,
                           disc, done)
     # dedupe within the hop (two expanded nodes sharing a neighbor):
@@ -638,6 +642,32 @@ def greedy_descent_host(kind, metric, values, nbr0, nbr_up, up_slot, level,
     return cur, cur_d
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def merge_scan_batches(all_d, all_r, k: int):
+    """Device-side iterative-scan merge: one call over the whole
+    (nq, batches·ef) emission matrix replaces the per-query host
+    np.unique + argsort loop that throttled 4k-query batches.
+
+    Duplicate emissions of one element across resume batches carry
+    identical distances (suppressed entries arrive as row −1), so
+    keep-first dedup == keep-any: stable-sort by row id, mask repeats to
+    inf, stable-sort by distance, slice k.  Two ``lax.sort`` calls with
+    carried operands — deliberately no gather/take_along_axis, which
+    miscompiles behind top_k on this image's axon toolchain (see
+    _row_gather).  Tie-break matches the host merge: equal distances emit
+    in ascending row order."""
+    d = jnp.where(all_r < 0, jnp.inf, all_d)
+    sr, sd = jax.lax.sort((all_r, d), dimension=1, num_keys=1, is_stable=True)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(sr[:, :1], jnp.bool_), sr[:, 1:] == sr[:, :-1]],
+        axis=1)
+    sd = jnp.where(dup, jnp.inf, sd)
+    sd2, sr2 = jax.lax.sort((sd, sr), dimension=1, num_keys=1, is_stable=True)
+    out_d = sd2[:, :k]
+    out_r = jnp.where(jnp.isinf(out_d), -1, sr2[:, :k])
+    return out_d, out_r
+
+
 # ---------------------------------------------------------------------------
 # SelectNeighbors heuristic (Algorithm 4 — hnswutils.c:1062-1163)
 # ---------------------------------------------------------------------------
@@ -754,11 +784,21 @@ def _pad_lanes(pool_d, pool_i, mult: int = 0):
     return pool_d, pool_i
 
 
-def _pairwise_dists(kind: str, metric: Metric, values, elems):
+def _pairwise_dists(kind: str, metric: Metric, values, elems, sdim: int = 0):
     """(T, C, C) stored distances among candidate elements per row.
 
     Dense L2/IP/cos ride one batched matmul (MXU); other metrics use a
-    broadcast block — callers chunk T to bound the (T, C, C, D) tensor."""
+    broadcast block — callers chunk T to bound the (T, C, C, D) tensor.
+
+    ``sdim > 0`` (sparse L2/IP/cos only) selects the *densified* pairwise
+    path: each candidate's CSR row is scattered into a dense (sdim,) lane
+    and the (C, C) block comes from one batched MXU matmul plus norm
+    corrections — numerically the same overlap-IP reduction as the
+    merge-join scorer (zeros contribute nothing to the sum), but the
+    transients are (T, C, sdim) f32 instead of the (T, C, C, nnz_lanes)
+    searchsorted gather temps that forced 16-row waves at nnz 32
+    (hnsw.py:_sparse_pair_rows_cap).  Callers enable it when
+    sdim·4 < C·nnz_lanes·8 (moderate logical dims)."""
     safe = jnp.maximum(elems, 0)
     ok = (elems[:, :, None] >= 0) & (elems[:, None, :] >= 0)
     if kind == "dense" and metric in (Metric.L2, Metric.IP, Metric.COSINE):
@@ -800,10 +840,39 @@ def _pairwise_dists(kind: str, metric: Metric, values, elems):
             denom = pop[:, :, None] + pop[:, None, :] - ab
             d = jnp.where(ab == 0, 1.0, 1.0 - ab / jnp.where(denom > 0, denom, 1.0))
         return jnp.where(ok, d, jnp.inf)
-    # sparse: vmapped single-query scorer per row (nested vmap, no lax loop)
     idx_arr, val_arr = values
     ridx = idx_arr[safe]  # (T, C, P)
     rval = val_arr[safe]
+    if sdim > 0 and metric in (Metric.L2, Metric.IP, Metric.COSINE):
+        t, c, p = ridx.shape
+        # scatter-densify: pad entries (SPARSE_PAD, val 0) land in an
+        # overflow column that's sliced off; indices are distinct per row
+        # so add == set
+        col = jnp.minimum(ridx.reshape(t * c, p), sdim).astype(jnp.int32)
+        rows = jnp.arange(t * c, dtype=jnp.int32)[:, None]
+        v = (jnp.zeros((t * c, sdim + 1), jnp.float32)
+             .at[rows, col].add(rval.reshape(t * c, p))
+             [:, :sdim].reshape(t, c, sdim))
+        ip = jax.lax.dot_general(
+            v, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (T, C, C)
+        if metric is Metric.IP:
+            d = -ip
+        else:
+            sq = jnp.sum(rval * rval, axis=-1)  # pads contribute 0
+            if metric is Metric.L2:
+                d = jnp.maximum(sq[:, :, None] - 2.0 * ip + sq[:, None, :], 0.0)
+            else:
+                denom = jnp.sqrt(sq[:, :, None] * sq[:, None, :])
+                cos = jnp.where(denom > 0,
+                                ip / jnp.where(denom > 0, denom, 1.0),
+                                -jnp.inf)
+                d = 1.0 - cos
+        return jnp.where(ok, d, jnp.inf)
+    # merge-join fallback (L1, or huge logical dims): vmapped single-query
+    # scorer per row (nested vmap, no lax loop)
 
     def pair_rows(ri, rv):
         return jax.vmap(lambda qi, qv: D.sparse_scores(metric, qi, qv, ri, rv))(ri, rv)
@@ -812,12 +881,13 @@ def _pairwise_dists(kind: str, metric: Metric, values, elems):
     return jnp.where(ok, d, jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "metric", "lm"))
-def select_connections(kind, metric, values, base_elems, pool_d, pool_i, lm: int):
+@functools.partial(jax.jit, static_argnames=("kind", "metric", "lm", "sdim"))
+def select_connections(kind, metric, values, base_elems, pool_d, pool_i,
+                       lm: int, sdim: int = 0):
     """SelectNeighbors over each base element's candidate pool →
     ((Q, lm) neighbor element ids, (Q, lm) heuristic-kept flags)."""
     pool_d, pool_i = _pad_lanes(pool_d, pool_i)
-    pair = _pairwise_dists(kind, metric, values, pool_i)
+    pair = _pairwise_dists(kind, metric, values, pool_i, sdim)
     forced = jnp.zeros(pool_i.shape, jnp.bool_)
     pos, kept = select_neighbors_batch(pool_d, pair, pool_i >= 0, lm, forced)
     sel = _row_gather(pool_i, jnp.maximum(pos, 0))
@@ -825,7 +895,7 @@ def select_connections(kind, metric, values, base_elems, pool_d, pool_i, lm: int
 
 
 def _merge_wholesale_core(kind, metric, values, old_lists, old_kept,
-                          new_src, targets, lm: int):
+                          new_src, targets, lm: int, sdim: int = 0):
     """One SelectNeighbors over old ∪ new per target — a single select per
     wave instead of the reference's per-source fold (~8× cheaper during
     builds).  ``old_kept`` marks the incumbents whose heuristic-kept
@@ -853,22 +923,22 @@ def _merge_wholesale_core(kind, metric, values, old_lists, old_kept,
             [forced, jnp.zeros(
                 (forced.shape[0], cand.shape[1] - forced.shape[1]),
                 jnp.bool_)], axis=1)
-    pair = _pairwise_dists(kind, metric, values, cand)
+    pair = _pairwise_dists(kind, metric, values, cand, sdim)
     pos, kept = select_neighbors_batch(base_d, pair, cand >= 0, lm, forced)
     sel = _row_gather(cand, jnp.maximum(pos, 0))
     return jnp.where(pos >= 0, sel, -1), kept & (pos >= 0)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "metric", "lm"))
+@functools.partial(jax.jit, static_argnames=("kind", "metric", "lm", "sdim"))
 def merge_backlinks_wholesale(kind, metric, values, old_lists, old_kept,
-                              new_src, targets, lm: int):
+                              new_src, targets, lm: int, sdim: int = 0):
     return _merge_wholesale_core(kind, metric, values, old_lists, old_kept,
-                                 new_src, targets, lm)
+                                 new_src, targets, lm, sdim)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "metric", "lm"))
+@functools.partial(jax.jit, static_argnames=("kind", "metric", "lm", "sdim"))
 def merge_backlinks(kind, metric, values, old_lists, old_kept, new_src,
-                    targets, lm: int):
+                    targets, lm: int, sdim: int = 0):
     """HnswUpdateConnection batched by target (hnswutils.c:1181-1229),
     with the reference's *incremental* semantics: each new source is folded
     one at a time — appended while the list has room, else one select over
@@ -907,7 +977,7 @@ def merge_backlinks(kind, metric, values, old_lists, old_kept, new_src,
             forced = jnp.concatenate(
                 [forced, jnp.zeros(
                     (t, cand.shape[1] - forced.shape[1]), jnp.bool_)], axis=1)
-        pair = _pairwise_dists(kind, metric, values, cand)
+        pair = _pairwise_dists(kind, metric, values, cand, sdim)
         pos, kept = select_neighbors_batch(base_d, pair, cand >= 0, lm, forced)
         sel = _row_gather(cand, jnp.maximum(pos, 0))
         pruned_list = jnp.where(pos >= 0, sel, -1)
@@ -954,10 +1024,11 @@ def _group_edges(tgt, src, d, smax: int):
     return targets, new_src, u_count
 
 
-def _intra_core(kind, metric, values, elems, eligible, mi: int):
+def _intra_core(kind, metric, values, elems, eligible, mi: int,
+                sdim: int = 0):
     """Shared body of intra_wave_candidates/_intra_block: top-mi nearest
     eligible wave-mates per wave member from one (B, B) distance block."""
-    d = _pairwise_dists(kind, metric, values, elems[None, :])[0]  # (B, B)
+    d = _pairwise_dists(kind, metric, values, elems[None, :], sdim)[0]  # (B, B)
     b = d.shape[0]
     eye = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0) == \
         jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
@@ -967,23 +1038,26 @@ def _intra_core(kind, metric, values, elems, eligible, mi: int):
     return jnp.where(ids >= 0, -neg, jnp.inf), ids
 
 
-def _intra_block(kind, metric, values, elems, eligible, mi: int):
+def _intra_block(kind, metric, values, elems, eligible, mi: int,
+                 sdim: int = 0):
     """Top-mi nearest eligible wave-mates per wave member (see
     intra_wave_candidates) — inline, for use inside connect_level; also
     blanks the rows of ineligible members."""
-    d, ids = _intra_core(kind, metric, values, elems, eligible, mi)
+    d, ids = _intra_core(kind, metric, values, elems, eligible, mi, sdim)
     ids = jnp.where(eligible[:, None], ids, -1)
     return jnp.where(ids >= 0, d, jnp.inf), ids
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "metric", "level0", "m", "mi", "smax", "chunk"),
+    static_argnames=("kind", "metric", "level0", "m", "mi", "smax", "chunk",
+                     "sdim"),
     donate_argnames=("nbr0", "nbr_up", "kept0", "kept_up"),
 )
 def connect_level(kind, metric, values, nbr0, nbr_up, kept0, kept_up,
                   up_slot, elems, eligible, level, pool_d, pool_i,
-                  level0: bool, m: int, mi: int, smax: int, chunk: int):
+                  level0: bool, m: int, mi: int, smax: int, chunk: int,
+                  sdim: int = 0):
     """One fused connect pass for one level of an insert wave: intra-wave
     candidates + SelectNeighbors per wave member + own-list writes +
     device-grouped backlink merges — a SINGLE device dispatch where the
@@ -999,12 +1073,12 @@ def connect_level(kind, metric, values, nbr0, nbr_up, kept0, kept_up,
     pool_i = jnp.where(eligible[:, None], pool_i, -1)
     if mi > 0:
         intra_d, intra_i = _intra_block(kind, metric, values, elems,
-                                        eligible, mi)
+                                        eligible, mi, sdim)
         pool_d = jnp.concatenate([pool_d, intra_d], axis=1)
         pool_i = jnp.concatenate([pool_i, intra_i], axis=1)
     # 2. SelectNeighbors over each member's pool (Algorithm 4)
     pool_d, pool_i = _pad_lanes(pool_d, pool_i)
-    pair = _pairwise_dists(kind, metric, values, pool_i)
+    pair = _pairwise_dists(kind, metric, values, pool_i, sdim)
     forced0 = jnp.zeros(pool_i.shape, jnp.bool_)
     pos, kept = select_neighbors_batch(pool_d, pair, pool_i >= 0, lm, forced0)
     sel = _row_gather(pool_i, jnp.maximum(pos, 0))
@@ -1069,7 +1143,7 @@ def connect_level(kind, metric, values, nbr0, nbr_up, kept0, kept_up,
             oldk = kept_up[jnp.maximum(slots_c, 0), lvl_idx] & okc[:, None]
         new_l, new_k = _merge_wholesale_core(
             kind, metric, values, old, oldk, s_c,
-            jnp.where(okc, t_c, -1), lm)
+            jnp.where(okc, t_c, -1), lm, sdim)
         new_l = jnp.where(okc[:, None], new_l, -1)
         acc_l = jax.lax.dynamic_update_slice(acc_l, new_l, (i * chunk, 0))
         acc_k = jax.lax.dynamic_update_slice(acc_k, new_k & okc[:, None],
@@ -1094,8 +1168,9 @@ def connect_level(kind, metric, values, nbr0, nbr_up, kept0, kept_up,
     return nbr0, nbr_up, kept0, kept_up
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "metric", "mi"))
-def intra_wave_candidates(kind, metric, values, elems, eligible, mi: int):
+@functools.partial(jax.jit, static_argnames=("kind", "metric", "mi", "sdim"))
+def intra_wave_candidates(kind, metric, values, elems, eligible, mi: int,
+                          sdim: int = 0):
     """Top-mi nearest *wave-mates* per wave member — one (B, B) distance
     block.  Members of a wave search the frozen graph and never see each
     other (hnswbuild's sequential inserts do); folding the nearest
@@ -1105,7 +1180,7 @@ def intra_wave_candidates(kind, metric, values, elems, eligible, mi: int):
 
     ``eligible`` masks members that exist at the level being connected.
     Returns (dists (B, mi), elem ids (B, mi))."""
-    return _intra_core(kind, metric, values, elems, eligible, mi)
+    return _intra_core(kind, metric, values, elems, eligible, mi, sdim)
 
 
 # ---------------------------------------------------------------------------
@@ -1209,6 +1284,45 @@ def wave_search_host(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids,
                             greedy_fn, beam_fn)
 
 
+def wave_search_sharded(mesh, kind, metric, values, nbr0, nbr_up, up_slot,
+                        qs, self_ids, lv, entry, entry_level, *, ef: int,
+                        m: int, l_unroll: int, exclude_self: bool,
+                        expand: int = 1, vmode: str = "hash2"):
+    """Multi-device wave search for building ONE graph: the wave's queries
+    split across the mesh (data parallelism over the insert wave — the SPMD
+    mapping of the reference's parallel build, where N processes run
+    HnswFindElementNeighbors concurrently against one shared-memory graph,
+    hnswbuild.c:925-1062 / workers at 838-883), while the graph and value
+    arrays are replicated per device.
+
+    Each query's beam search is completely independent (the reference's
+    workers share only the graph, read-mostly), so the gathered pools are
+    bit-identical to single-device ``wave_search`` output; the connect
+    step — and therefore the final graph — is unchanged.  The all-gather
+    of the (L+1, B, ef) pools rides ICI and is tiny next to the per-hop
+    distance work this spreads over N chips."""
+    import jax.sharding as shd
+
+    ax = mesh.axis_names[0]
+
+    def local(values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
+              entry, entry_level):
+        return wave_search(kind, metric, values, nbr0, nbr_up, up_slot, qs,
+                           self_ids, lv, entry, entry_level, ef=ef, m=m,
+                           l_unroll=l_unroll, exclude_self=exclude_self,
+                           expand=expand, vmode=vmode)
+
+    P = shd.PartitionSpec
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(ax), P(ax), P(ax), P(), P()),
+        out_specs=(P(None, ax), P(None, ax)),
+        check_vma=False,
+    )
+    return fn(values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
+              entry, entry_level)
+
+
 # ---------------------------------------------------------------------------
 # query search — TPU mono-jit and CPU host-driver variants
 # ---------------------------------------------------------------------------
@@ -1246,12 +1360,16 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                  row_valid, fmask, qs, entry, entry_level, ef: int, m: int,
                  l_unroll: int, k: int, heaptids: int, expand: int = 1,
                  vmode: str = "hash2", packed_vals=None, rerank: bool = False,
-                 max_steps: int = 0, pallas_tail: bool = False):
+                 max_steps: int = 0, pallas_tail: bool = False,
+                 qs_packed=None):
     """Algorithm 5 (hnswscan.c:25-56), TPU mono-jit.
 
     ``packed_vals`` — optional adjacency-packed neighbor values
-    (nbr_vals[cap, 2m, D], possibly bf16): layer 0 scores whole neighbor
-    slabs instead of per-row value gathers (see _hop_body).  With
+    (nbr_vals[cap, 2m, D'], possibly bf16 and possibly *sketched*, i.e.
+    randomly projected D→D' for large dims): layer 0 scores whole
+    neighbor slabs instead of per-row value gathers (see _hop_body).
+    ``qs_packed`` — the matching query representation (defaults to
+    ``qs``; the D→D' projection of the queries when sketched).  With
     ``rerank``, the final ef pool is re-scored against the exact f32
     stored values (one ef-row gather) so reduced-precision packing never
     changes the emitted ordering beyond pool admission."""
@@ -1266,7 +1384,10 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
         cur, cur_d = greedy_descent(score, nbrs, qs, cur, cur_d, jnp.int32(lc),
                                     m, max_steps=512)
     visited = visited_init(nq, ef, vmode)
-    packed = (packed_vals,) if packed_vals is not None else None
+    if packed_vals is not None:
+        packed = (packed_vals, qs if qs_packed is None else qs_packed)
+    else:
+        packed = None
     pool_d, pool_i, _, steps = search_layer(
         score, lambda e: nbrs(e, jnp.int32(0)), qs, cur_d[:, None],
         cur[:, None], visited, ef=ef,
@@ -1356,7 +1477,8 @@ def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                       m: int, l_unroll: int, k: int, heaptids: int,
                       expand: int = 1, vmode: str = "hash2",
                       packed_vals=None, rerank: bool = False,
-                      max_steps: int = 0, pallas_tail: bool = False):
+                      max_steps: int = 0, pallas_tail: bool = False,
+                      qs_packed=None):
     """CPU variant of Algorithm 5 with host-driven loops.  The packed-
     adjacency path is a device-gather optimization; the host driver always
     scores via row gathers (packed_vals/rerank/pallas_tail accepted for

@@ -428,3 +428,33 @@ def test_dim_sharded_rejects_bit_metrics(mesh, rng):
     with pytest.raises(FeatureNotSupported, match="decompose"):
         dim_sharded_exact_search(mesh, Metric.HAMMING,
                                  jnp.zeros((4, 8)), jnp.zeros((1, 8)), 2)
+
+
+def test_mesh_build_single_graph_bit_identical(mesh, rng):
+    """Multi-device build of ONE HNSW graph (the SPMD counterpart of the
+    reference's shared-memory parallel build, hnswbuild.c:925-1062): wave
+    searches shard over the mesh, graph arrays replicated, connect
+    deterministic — graph arrays must be BIT-identical to the
+    single-device build, and online inserts keep working."""
+    from pgvector_tpu.index.hnsw import HNSWIndex
+
+    db = rng.normal(size=(1500, 16)).astype(np.float32)
+    table = DenseTable(16, capacity=2048)
+    table.insert(db[:1200])
+    one = HNSWIndex(table, Metric.L2, m=8, ef_construction=32,
+                    wave_size=128, dedup=False, seed=4)
+    par = HNSWIndex(table, Metric.L2, m=8, ef_construction=32,
+                    wave_size=128, dedup=False, seed=4, build_mesh=mesh)
+    assert np.array_equal(np.asarray(one.nbr0), np.asarray(par.nbr0))
+    assert np.array_equal(np.asarray(one.nbr_up), np.asarray(par.nbr_up))
+    assert np.array_equal(one.levels, par.levels)
+    assert one.entry == par.entry and one.entry_level == par.entry_level
+    # online inserts on the mesh-built index keep the equality
+    rows = table.insert(db[1200:])
+    one.insert(rows)
+    par.insert(rows)
+    assert np.array_equal(np.asarray(one.nbr0), np.asarray(par.nbr0))
+    q = rng.normal(size=(6, 16)).astype(np.float32)
+    d1, r1 = one.search(q, 5, ef_search=40)
+    d2, r2 = par.search(q, 5, ef_search=40)
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
