@@ -26,7 +26,9 @@ class Path:
     cost: float
 
     def __repr__(self) -> str:
-        return f"Path({self.kind}, cost={self.cost:.1f})"
+        # tuple-model costs are row counts (≥1); calibrated costs are
+        # device seconds (≪1) — render small values with enough precision
+        return f"Path({self.kind}, cost={self.cost:.6g})"
 
 
 def hnsw_scan_tuples(n: int, m: int, ef_search: int, entry_level: int) -> float:
@@ -71,10 +73,31 @@ def estimate_cost(index_or_none, table, metric: Metric,
 
 
 def choose_path(table, indexes: List[object], metric: Metric,
-                order_by: bool = True, **knobs) -> Path:
+                order_by: bool = True, calibration: "Calibration" = None,
+                q_count: int = 1, **knobs) -> Path:
     """Pick the cheapest access path for a top-k query ordered by
     ``metric``.  Without ORDER BY the approximate indexes are unusable
-    (infinite cost, hnsw.c:147-160) and the exact scan wins."""
+    (infinite cost, hnsw.c:147-160) and the exact scan wins.
+
+    With ``calibration`` (see ``calibrate``), costs are predicted DEVICE
+    SECONDS for a ``q_count``-query batch instead of the reference's
+    tuple-visit proxy — on TPU the proxy misorders paths badly (an exact
+    scan "visits" every row but rides one MXU matmul at ~10⁹ row·queries
+    per second, while each HNSW tuple visit sits behind a latency-bound
+    gather), so the crossover between paths is a measured property, not a
+    row-count one."""
+    if calibration is not None:
+        paths = [Path("exact", None, calibration.predict("exact", q_count))]
+        if order_by:
+            for idx in indexes:
+                if getattr(idx, "metric", None) is not metric:
+                    continue
+                key = calibration.key_of(idx)
+                if key not in calibration.constants:
+                    continue  # not measured → not offered
+                kind = type(idx).__name__.replace("Index", "").lower()
+                paths.append(Path(kind, idx, calibration.predict(key, q_count)))
+        return min(paths, key=lambda p: p.cost)
     paths = [Path("exact", None, estimate_cost(None, table, metric))]
     if order_by:
         for idx in indexes:
@@ -83,3 +106,74 @@ def choose_path(table, indexes: List[object], metric: Metric,
             kind = type(idx).__name__.replace("Index", "").lower()
             paths.append(Path(kind, idx, estimate_cost(idx, table, metric, **knobs)))
     return min(paths, key=lambda p: p.cost)
+
+
+class Calibration:
+    """Per-path device-time model fit from measured runs (VERDICT r3 #9).
+
+    Each path's batch time is modeled as ``fixed + per_q · Q``: the fixed
+    term captures dispatch/compile-free kernel-launch overhead and
+    per-batch setup (greedy descent, probe ordering), the linear term the
+    per-query work.  Constants come from timing the REAL paths on the
+    caller's actual table/indexes at two probe batch sizes — no
+    hand-tuned rates, so the model tracks whatever the current backend
+    (CPU mesh or TPU chip) actually delivers."""
+
+    def __init__(self, constants):
+        #: {key: (fixed_s, per_q_s)}; key "exact" or id() of an index
+        self.constants = constants
+
+    @staticmethod
+    def key_of(idx) -> object:
+        return "exact" if idx is None else id(idx)
+
+    def predict(self, key, q_count: int) -> float:
+        fixed, per_q = self.constants[key]
+        return fixed + per_q * max(q_count, 1)
+
+
+def _time_path(search_fn, queries, sizes) -> tuple:
+    """Fit (fixed_s, per_q_s) for one path: warm each probe shape once
+    (compile), then take the best of 2 timed runs per size and solve the
+    two-point linear system."""
+    import time as _time
+
+    samples = []
+    for q_n in sizes:
+        qb = queries[:q_n]
+        search_fn(qb)  # warm / compile this shape
+        best = float("inf")
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            search_fn(qb)
+            best = min(best, _time.perf_counter() - t0)
+        samples.append((q_n, best))
+    (q1, t1), (q2, t2) = samples[0], samples[-1]
+    per_q = max((t2 - t1) / max(q2 - q1, 1), 0.0)
+    fixed = max(t1 - per_q * q1, 0.0)
+    return fixed, per_q
+
+
+def calibrate(table, indexes: List[object], metric: Metric, queries,
+              k: int = 10, sizes=(32, 256), **knobs) -> Calibration:
+    """Measure every offered path on ``table`` with real probe batches
+    drawn from ``queries`` and return a ``Calibration`` for
+    ``choose_path(..., calibration=...)``.
+
+    Any index exposing ``.metric`` and ``.search(q, k)`` participates —
+    HNSW, IVFFlat, DeviceSharded*, and Expression/re-rank indexes alike
+    (the reference's costestimate hooks only cover its two AMs;
+    device-time measurement generalizes for free)."""
+    from .index.flat import FlatIndex
+
+    n_avail = queries.shape[0] if hasattr(queries, "shape") else len(queries)
+    sizes = tuple(min(s, n_avail) for s in sizes)
+    flat = FlatIndex(table, metric)
+    constants = {"exact": _time_path(lambda q: flat.search(q, k),
+                                     queries, sizes)}
+    for idx in indexes:
+        if getattr(idx, "metric", None) is not metric:
+            continue
+        constants[Calibration.key_of(idx)] = _time_path(
+            lambda q, idx=idx: idx.search(q, k, **knobs), queries, sizes)
+    return Calibration(constants)

