@@ -28,6 +28,16 @@ BENCH_BATCH (8000 — throughput saturates at ~8k queries/batch:
 per-op dispatch overhead dominates below ~2k), BENCH_EF (sweep
 list), BENCH_EXPAND (4), BENCH_QEXPAND (8),
 BENCH_IVF (1 = also benchmark IVFFlat probes=10).
+
+Every BASELINE.json config runs by default so the driver JSON alone
+substantiates the whole matrix (VERDICT r3 #1) — at time-budgeted sizes
+where a 1M build would dominate the run (each sub-lane reports its n):
+BENCH_GIST/BENCH_BIT/BENCH_SPARSE/BENCH_LATENCY (default 1, 0 disables),
+BENCH_METRICS (default "ip,cosine", "" disables), with sizes under
+BENCH_GIST_N (200k), BENCH_BIT_N (200k), BENCH_SPARSE_N (100k),
+BENCH_METRICS_N (250k).  The full-1M versions of these lanes live in
+experiments/ and their latest on-chip numbers ride along under
+``measured_lanes`` with provenance.
 """
 
 import json
@@ -129,21 +139,22 @@ def main():
             }
             # surface the last committed on-hardware run (clearly labeled
             # as such) so a dead tunnel doesn't erase the measured state
-            prior = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BENCH_r03_local.json")
-            try:
-                with open(prior) as f:
-                    out["last_measured_on_tpu"] = json.load(f)
-            except Exception:
-                pass
-            try:
-                lanes = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                     "experiments", "results",
-                                     "summary_r03.json")
-                with open(lanes) as f:
-                    out["measured_lanes"] = json.load(f)
-            except Exception:
-                pass
+            here = os.path.dirname(os.path.abspath(__file__))
+            for prior in ("BENCH_r04_local.json", "BENCH_r03_local.json"):
+                try:
+                    with open(os.path.join(here, prior)) as f:
+                        out["last_measured_on_tpu"] = json.load(f)
+                    break
+                except Exception:
+                    pass
+            for summ in ("summary_r04.json", "summary_r03.json"):
+                try:
+                    with open(os.path.join(here, "experiments", "results",
+                                           summ)) as f:
+                        out["measured_lanes"] = json.load(f)
+                    break
+                except Exception:
+                    pass
             print(json.dumps(out))
             return
 
@@ -272,11 +283,12 @@ def main():
                "qps": round(nq / dt, 1), "build_s": round(ivf_build_s, 1)}
         log(f"bench: ivf {ivf}")
 
-    # optional GIST-1M-shaped halfvec lane (960-d, bf16 storage) —
-    # BASELINE.md's "halfvec fp16 HNSW on GIST-1M with bf16 kernels"
-    # target; opt-in (BENCH_GIST=1) so the default driver run stays short
+    # GIST-1M-shaped halfvec lane (960-d, bf16 storage) — BASELINE.md's
+    # "halfvec fp16 HNSW on GIST-1M with bf16 kernels" target, default-on
+    # at a time-budgeted n (BENCH_GIST_N; the full-1M numbers live in
+    # experiments/lane_gist1m.py → measured_lanes)
     gist = None
-    if os.environ.get("BENCH_GIST", "0") == "1":
+    if os.environ.get("BENCH_GIST", "1") == "1":
         import jax.numpy as jnp
 
         gn = int(os.environ.get("BENCH_GIST_N", 200_000))
@@ -304,20 +316,30 @@ def main():
             gist["sweep"].append({"ef": ef,
                                   "recall_at_10": round(hits / (nq * k), 4),
                                   "qps": round(nq / dt, 1)})
+        gist["packed_scan"] = ("sketch%d" % gidx._packed_plan()[1]
+                               if gidx._packed_plan()[1]
+                               else str(gidx._packed_plan()[0]))
+        gidx._nbr_vals = None
+        del gidx, gtab
         log(f"bench: gist {gist}")
 
-    # optional bit/Hamming + binary-quantization re-rank lane at scale —
-    # BASELINE.md's "bit/binary-quantized Hamming + re-rank pipeline"
-    # (README.md:589-609).  Opt-in: BENCH_BIT=1.
+    # bit/Hamming + binary-quantization re-rank lane — BASELINE.md's
+    # "bit/binary-quantized Hamming + re-rank pipeline" (README.md:589-609),
+    # default-on at a time-budgeted slice of the main table (BENCH_BIT_N).
     bit_lane = None
-    if os.environ.get("BENCH_BIT", "0") == "1":
+    if os.environ.get("BENCH_BIT", "1") == "1":
         from pgvector_tpu.rerank import BinaryQuantizedIndex
         from pgvector_tpu.store.table import BitTable
 
         idx._nbr_vals = None  # release the ~8 GB packed scan copy
 
+        bn = min(int(os.environ.get("BENCH_BIT_N", 200_000)), n)
+        btab = DenseTable(db.shape[1], capacity=bn)
+        btab.insert(db[:bn])
+        _, bgt = FlatIndex(btab, Metric.L2, tile=16384).search(qs, k)
+        bgt = np.asarray(bgt)
         t0 = time.time()
-        bq = BinaryQuantizedIndex(table, Metric.L2, m=m,
+        bq = BinaryQuantizedIndex(btab, Metric.L2, m=m,
                                   ef_construction=64, rerank_factor=4,
                                   wave_size=1024, beam_expand=expand)
         bq_build = time.time() - t0
@@ -329,7 +351,7 @@ def main():
         dt = time.time() - t0
         r = np.concatenate(got)[:nq]
         hits = sum(len(set(map(int, a)) & set(map(int, e)))
-                   for a, e in zip(r, gt))
+                   for a, e in zip(r, bgt))
         # raw Hamming HNSW (no re-rank) for the pure-bit number
         braw = bq.index
         qbits = np.asarray(qs) > 0
@@ -340,14 +362,14 @@ def main():
                for s in range(0, nq, batch)]
         dt_raw = time.time() - t0
         bit_lane = {
-            "n": n, "build_s": round(bq_build, 1),
+            "n": bn, "build_s": round(bq_build, 1),
             "bq_rerank": {"recall_at_10_vs_float_gt": round(hits / (nq * k), 4),
                           "qps": round(nq / dt, 1), "ef": 40,
                           "rerank_factor": 4},
             "hamming_raw_qps": round(nq / dt_raw, 1),
         }
-        # Jaccard opclass at scale (bit_jaccard_ops): its own graph over
-        # the same sign bits, recall vs exact Jaccard ground truth
+        # Jaccard opclass (bit_jaccard_ops): its own graph over the same
+        # sign bits, recall vs exact Jaccard ground truth
         braw._nbr_vals = None
         _, jgt = FlatIndex(bq.shadow, Metric.JACCARD).search(qbits, k)
         jidx = HNSWIndex(bq.shadow, Metric.JACCARD, m=m, ef_construction=64,
@@ -364,19 +386,63 @@ def main():
         bit_lane["jaccard"] = {"recall_at_10": round(jh / (nq * k), 4),
                                "qps": round(nq / dt, 1), "ef": 40}
         jidx._nbr_vals = None
-        del jidx
+        del jidx, btab, bq, braw
+
+        # sign-informative BQ sub-lane (VERDICT r3 #4/#5): the clustered
+        # surrogate above puts ~n/1024 rows behind each sign pattern, so
+        # BQ-vs-float-GT recall is pool-bounded by construction.  This
+        # workload keeps ~25 rows per cluster (between k and
+        # rerank_factor·k): the exact-Hamming-top-40 + re-rank oracle is
+        # 0.9995 on it, so the pipeline itself must deliver ≥0.9 here.
+        sg_n = min(int(os.environ.get("BENCH_BQ_SIGNFUL_N", 200_000)), n)
+        sdim_bq, sncl = 512, max(sg_n // 25, 64)
+        rng_bq = np.random.default_rng(9)
+        s_centers = rng_bq.normal(size=(sncl, sdim_bq)).astype(np.float32) * 1.5
+        sdb = np.empty((sg_n, sdim_bq), np.float32)
+        for s in range(0, sg_n, 100_000):
+            e = min(s + 100_000, sg_n)
+            sdb[s:e] = (s_centers[rng_bq.integers(0, sncl, e - s)]
+                        + rng_bq.normal(size=(e - s, sdim_bq)).astype(np.float32))
+        sqs = (s_centers[rng_bq.integers(0, sncl, nq)]
+               + rng_bq.normal(size=(nq, sdim_bq)).astype(np.float32))
+        stab_bq = DenseTable(sdim_bq, capacity=sg_n)
+        stab_bq.insert(sdb)
+        _, sg_gt = FlatIndex(stab_bq, Metric.L2, tile=16384).search(sqs, k)
+        sg_gt = np.asarray(sg_gt)
+        t0 = time.time()
+        sbq = BinaryQuantizedIndex(stab_bq, Metric.L2, m=m,
+                                   ef_construction=64, rerank_factor=4,
+                                   wave_size=1024, beam_expand=expand)
+        sg_build = time.time() - t0
+        sbq.index.beam_expand = qexpand
+        sbq.search(sqs[:batch], k, ef_search=100)
+        t0 = time.time()
+        got = [sbq.search(sqs[s: s + batch], k, ef_search=100)[1]
+               for s in range(0, nq, batch)]
+        dt = time.time() - t0
+        r = np.concatenate(got)[:nq]
+        sh = sum(len(set(map(int, a)) & set(map(int, e)))
+                 for a, e in zip(r, sg_gt))
+        bit_lane["bq_signful"] = {
+            "n": sg_n, "dim": sdim_bq, "clusters": sncl,
+            "build_s": round(sg_build, 1), "ef": 100, "rerank_factor": 4,
+            "recall_at_10_vs_float_gt": round(sh / (nq * k), 4),
+            "qps": round(nq / dt, 1)}
+        sbq.index._nbr_vals = None
+        del sbq, stab_bq, sdb
         log(f"bench: bit {bit_lane}")
 
-    # optional sparsevec HNSW lane at scale (BENCH_SPARSE=1) — the
-    # sparsevec_ip_ops opclass (README.md:433-447); random 5%-density
-    # rows over a large logical dim, IP ordering
+    # sparsevec HNSW lane — the sparsevec_ip_ops opclass
+    # (README.md:433-447); random sparse rows over a large logical dim,
+    # IP ordering.  Default-on: the densified pairwise select made the
+    # sparse build driver-budget-friendly (waves of 256+ instead of 16).
     sparse_lane = None
-    if os.environ.get("BENCH_SPARSE", "0") == "1":
+    if os.environ.get("BENCH_SPARSE", "1") == "1":
         from pgvector_tpu.store.table import SparseTable
         from pgvector_tpu.types.sparsevec import SparseVec
 
         idx._nbr_vals = None
-        sn = int(os.environ.get("BENCH_SPARSE_N", 200_000))
+        sn = int(os.environ.get("BENCH_SPARSE_N", 100_000))
         sdim, snnz = 4096, 32
         rng = np.random.default_rng(11)
         # distinct sorted indices per row (argpartition of a random key
@@ -422,22 +488,26 @@ def main():
                  "qps": round(nq / dt, 1)})
         log(f"bench: sparse {sparse_lane}")
 
-    # optional IP / cosine opclass sweeps at n (BENCH_METRICS=ip,cosine) —
-    # each builds its own graph + ground truth
+    # IP / cosine opclass sweeps (BENCH_METRICS, default both) — each
+    # builds its own graph + ground truth at a time-budgeted slice
+    # (BENCH_METRICS_N; the 1M versions are in measured_lanes)
     metric_lanes = None
-    mlist = [x for x in os.environ.get("BENCH_METRICS", "").split(",") if x]
+    mlist = [x for x in os.environ.get("BENCH_METRICS", "ip,cosine").split(",") if x]
     if mlist:
-        metric_lanes = {}
+        mn = min(int(os.environ.get("BENCH_METRICS_N", 250_000)), n)
+        mtab = DenseTable(db.shape[1], capacity=mn)
+        mtab.insert(db[:mn])
+        metric_lanes = {"n": mn}
         for mname in mlist:
             met = {"ip": Metric.IP, "cosine": Metric.COSINE}[mname]
-            fl = FlatIndex(table, met)
+            fl = FlatIndex(mtab, met)
             t0 = time.time()
             _, mgt = fl.search(qs, k)
             mgt_s = time.time() - t0
             t0 = time.time()
-            midx = HNSWIndex(table, met, m=m, ef_construction=64,
+            midx = HNSWIndex(mtab, met, m=m, ef_construction=64,
                              wave_size=1024, dedup=False,
-                             beam_expand=expand, capacity=cap)
+                             beam_expand=expand)
             mbuild = time.time() - t0
             midx.beam_expand = qexpand
             lane = {"build_s": round(mbuild, 1), "gt_s": round(mgt_s, 1),
@@ -458,6 +528,34 @@ def main():
             midx._nbr_vals = None
             del midx
             log(f"bench: {mname} {lane}")
+
+    # serving-latency table (VERDICT r3 #4): p50/p99 per batch size on the
+    # headline index at the headline ef; expand=40 is the latency-tuned
+    # beam (wider beam → fewer sequential layer-0 hops; at tiny batches a
+    # hop costs nearly the same regardless of width)
+    latency = None
+    if os.environ.get("BENCH_LATENCY", "1") == "1":
+        latency = []
+        reps = int(os.environ.get("BENCH_LATENCY_REPS", 30))
+        for lexpand in (qexpand, 40):
+            idx.beam_expand = lexpand
+            for lbatch in (1, 16, 256):
+                idx.search(qs[:lbatch], k, ef_search=head["ef"])  # compile
+                lats = []
+                for rep in range(reps):
+                    s0 = (rep * lbatch) % (nq - lbatch + 1)
+                    t0 = time.time()
+                    idx.search(qs[s0: s0 + lbatch], k, ef_search=head["ef"])
+                    lats.append((time.time() - t0) * 1e3)
+                lats.sort()
+                latency.append({
+                    "expand": lexpand, "batch": lbatch,
+                    "p50_ms": round(lats[len(lats) // 2], 2),
+                    "p99_ms": round(lats[min(len(lats) - 1,
+                                             int(len(lats) * 0.99))], 2),
+                    "hops": int(idx._last_scan_steps)})
+                log(f"bench: latency {latency[-1]}")
+        idx.beam_expand = qexpand
 
     out = {
         "metric": "hnsw_qps_at_recall095_sift1m_surrogate",
@@ -483,20 +581,20 @@ def main():
         "bit_bq": bit_lane,
         "sparse": sparse_lane,
         "metric_lanes": metric_lanes,
+        "latency": latency,
         "backend": jax.default_backend(),
     }
-    # the optional lanes above only run when their BENCH_* env knobs are
-    # set (each adds a multi-hundred-second build); the same lanes were
-    # measured on the real chip this round by the experiments/ scripts —
-    # surface those results (provenance-labeled) so one default bench run
-    # still reports the full BASELINE matrix
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "experiments", "results",
-                               "summary_r03.json")) as f:
-            out["measured_lanes"] = json.load(f)
-    except Exception:
-        pass
+    # the lanes above run at time-budgeted sizes; the full-scale (1M/10M)
+    # versions were measured on the real chip by the experiments/ scripts —
+    # surface the latest summary (provenance-labeled) alongside
+    for summ in ("summary_r04.json", "summary_r03.json"):
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "experiments", "results", summ)) as f:
+                out["measured_lanes"] = json.load(f)
+            break
+        except Exception:
+            pass
     print(json.dumps(out))
 
 
