@@ -209,15 +209,39 @@ def main():
                     capacity=cap)
     build_s = time.time() - t0
     log(f"bench: hnsw build {build_s:.1f}s total (cold, incl. compiles)")
+    # The steady-state build doubles as the phase profile: timers +
+    # per-phase device syncs attribute search vs connect time honestly
+    # (async dispatch otherwise charges device time to whichever phase
+    # blocks next — hnsw._insert_wave_fused).  The wave beam search is
+    # data-parallel over a mesh with bit-identical results
+    # (wave_search_sharded), so the v5e-8 build projection keeps the
+    # connect/host terms and divides the search term by the chip count.
+    from pgvector_tpu.utils.telemetry import timers as _timers
+
     steady_n = min(int(os.environ.get("BENCH_STEADY_N", 204_800)), n)
     s_table = DenseTable(db.shape[1])
     s_table.insert(db[:steady_n])
+    _timers.reset()
+    _timers.enabled = True
+    os.environ["PGVECTOR_TPU_PHASE_SYNC"] = "1"
     t0 = time.time()
     HNSWIndex(s_table, Metric.L2, m=m, ef_construction=64,
               wave_size=1024, dedup=False, beam_expand=expand, capacity=cap)
-    steady_rate = steady_n / max(time.time() - t0, 1e-9)
+    steady_build_s = time.time() - t0
+    _timers.enabled = False
+    os.environ.pop("PGVECTOR_TPU_PHASE_SYNC", None)
+    steady_rate = steady_n / max(steady_build_s, 1e-9)
     build_steady_s = n / steady_rate
-    log(f"bench: steady {steady_rate:.0f} rows/s → {build_steady_s:.1f}s at n")
+    rep = _timers.report()
+    search_s = rep.get("hnsw.wave.search", {}).get("total_s", 0.0)
+    build_phases = {k: round(v["total_s"], 1) for k, v in rep.items()
+                    if k.startswith("hnsw.")}
+    search_frac = min(search_s / max(steady_build_s, 1e-9), 1.0)
+    build_proj_8chip_s = round(
+        build_steady_s * (1.0 - search_frac + search_frac / 8.0), 1)
+    log(f"bench: steady {steady_rate:.0f} rows/s → {build_steady_s:.1f}s at n; "
+        f"phases {build_phases} (search {search_frac:.0%}) → "
+        f"8-chip projection {build_proj_8chip_s}s")
 
     results = []
     idx.beam_expand = qexpand  # query-side beam width (build used expand)
@@ -567,6 +591,9 @@ def main():
         "mfu_vs_bf16_peak": head["mfu_vs_bf16_peak"],
         "build_s": round(build_s, 1),
         "build_steady_s": round(build_steady_s, 1),
+        "build_phases_steady": build_phases,
+        "build_search_frac": round(search_frac, 3),
+        "build_proj_8chip_s": build_proj_8chip_s,
         "exact_gt_s": round(gt_s, 1),
         "exact_gt_steady_s": round(gt_steady_s, 1),
         "exact_path": flat.last_path,

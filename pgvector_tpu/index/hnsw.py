@@ -721,10 +721,21 @@ class HNSWIndex:
         """Search + connect with the fused per-level connect kernel
         (K.connect_level): ~3 device dispatches per wave instead of dozens
         of host round-trips (each a tunnel-latency stall on the remote-TPU
-        image — BENCH_NOTES.md)."""
+        image — BENCH_NOTES.md).
+
+        Phase timers here bracket ASYNC dispatches — device time lands in
+        whichever phase next blocks.  PGVECTOR_TPU_PHASE_SYNC=1 (with
+        timers enabled) adds a block_until_ready at each phase boundary so
+        the search/connect split is attributed honestly; bench.py uses it
+        on a short profiling build to project the multi-chip build time
+        (wave search being the mesh-parallel term — wave_search_sharded)."""
+        sync = timers.enabled and os.environ.get(
+            "PGVECTOR_TPU_PHASE_SYNC", "0") == "1"
         with timers.phase("hnsw.wave.search"):
             out_d, out_i, nq, nq_pad = self._search_wave_raw(
                 elems, lv, exclude_self)
+            if sync:
+                jax.block_until_ready((out_d, out_i))
         with timers.phase("hnsw.wave.connect"):
             e_conn = jnp.asarray(np.concatenate(
                 [elems, np.full(nq_pad - nq, -1, elems.dtype)]
@@ -781,6 +792,8 @@ class HNSWIndex:
                         mi=min(self.m, b_lvl), smax=lm, chunk=chunk,
                         sdim=self._pair_sdim(),
                     )
+            if sync:
+                jax.block_until_ready(self.nbr0)
 
     def _insert_wave(self, elems: np.ndarray, lv: np.ndarray) -> None:
         """One wave: batched search + neighbor selection + connection
