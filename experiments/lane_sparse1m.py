@@ -1,13 +1,13 @@
-# sparsevec IP HNSW lane (VERDICT r2 weak #4: "sparsevec HNSW never
-# benched at scale").  GT uses the densified exact engine (host
-# scatter -> grouped MXU matmul) — the merge-join kernel's [Q, tile, nnz]
-# lane-padded temps OOM'd the remote compile at 4000q and a chunked
-# retry hit a TPU worker fault (BENCH_NOTES round-3 session 3).
+# sparsevec IP HNSW lane at 1M (VERDICT r3 missing #2, sparse half).
+# GT uses the densified exact engine (host scatter -> grouped MXU matmul);
+# the build now rides the scatter-densified pairwise selects (round 4):
+# CSR candidate rows are densified into dense lanes and scored by one
+# batched MXU matmul, so waves run at 256+ instead of the 16-row clamp the
+# (C, C, nnz_lanes) merge-join temps forced.  Transients stay bounded by
+# hnsw.sparse_pair_bytes (512 MB here).
 #
-# Session-6 hardening after a second worker crash mid-build at 200k:
-# scale to 100k rows, cap the pairwise merge-join transients at 512 MB
-# (PGVECTOR_TPU_SPARSE_PAIR_BYTES), and persist partial results so a
-# worker fault still leaves the GT timing on record.
+# Saves incrementally after every milestone (two round-3 attempts lost
+# work to a TPU worker fault / OOM mid-build).
 import time, json, os, sys
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("PGVECTOR_TPU_SPARSE_PAIR_BYTES", str(512 << 20))
@@ -20,9 +20,11 @@ from pgvector_tpu.ops.metric import Metric
 from pgvector_tpu.store.table import SparseTable
 from pgvector_tpu.types.sparsevec import SparseVec
 
-OUT = "/tmp/lane_sparse3.json"
+OUT = os.environ.get("LANE_OUT",
+                     "/root/repo/experiments/results/lane_sparse1m_r4.json")
 nq, k, batch = 4000, 10, 4000
-sn, sdim, snnz = 100_000, 4096, 32
+sn = int(os.environ.get("LANE_N", 1_000_000))
+sdim, snnz = 4096, 32
 rng = np.random.default_rng(11)
 # distinct sorted indices per row; values never exactly zero
 s_idx = np.empty((sn + nq, snnz), np.int32)
@@ -33,9 +35,13 @@ for s in range(0, sn + nq, 50_000):
 s_val = rng.normal(size=(sn + nq, snnz)).astype(np.float32)
 s_val[s_val == 0] = 1.0
 stab = SparseTable(sdim, nnz_cap=snnz, capacity=sn)
-stab.insert([SparseVec(sdim, s_idx[i], s_val[i], _checked=True) for i in range(sn)])
-sq = [SparseVec(sdim, s_idx[sn + i], s_val[sn + i], _checked=True) for i in range(nq)]
-print("loaded", flush=True)
+chunk = 100_000
+for s in range(0, sn, chunk):
+    stab.insert([SparseVec(sdim, s_idx[i], s_val[i], _checked=True)
+                 for i in range(s, min(s + chunk, sn))])
+sq = [SparseVec(sdim, s_idx[sn + i], s_val[sn + i], _checked=True)
+      for i in range(nq)]
+print("loaded", stab.count, flush=True)
 lane = {"n": sn, "dim": sdim, "nnz": snnz, "sweep": []}
 
 
