@@ -212,10 +212,15 @@ def main():
     # The steady-state build doubles as the phase profile: timers +
     # per-phase device syncs attribute search vs connect time honestly
     # (async dispatch otherwise charges device time to whichever phase
-    # blocks next — hnsw._insert_wave_fused).  The wave beam search is
+    # blocks next — hnsw._insert_wave_fused).  BOTH build phases are
     # data-parallel over a mesh with bit-identical results
-    # (wave_search_sharded), so the v5e-8 build projection keeps the
-    # connect/host terms and divides the search term by the chip count.
+    # (wave_search_sharded + connect_level_sharded), so the v5e-8 build
+    # projection divides the search AND connect terms by the chip count
+    # and keeps only the host terms serial.  It assumes ideal scaling of
+    # the device terms (the per-wave all_gathers ride ICI and move
+    # (B, ef)/(E, lm) int32 blocks — KBs against the pairwise FLOPs they
+    # distribute); the CPU-mesh equality test + dryrun_multichip validate
+    # the path itself, one real chip forbids measuring it here.
     from pgvector_tpu.utils.telemetry import timers as _timers
 
     steady_n = min(int(os.environ.get("BENCH_STEADY_N", 204_800)), n)
@@ -234,13 +239,14 @@ def main():
     build_steady_s = n / steady_rate
     rep = _timers.report()
     search_s = rep.get("hnsw.wave.search", {}).get("total_s", 0.0)
+    connect_s = rep.get("hnsw.wave.connect", {}).get("total_s", 0.0)
     build_phases = {k: round(v["total_s"], 1) for k, v in rep.items()
                     if k.startswith("hnsw.")}
-    search_frac = min(search_s / max(steady_build_s, 1e-9), 1.0)
+    par_frac = min((search_s + connect_s) / max(steady_build_s, 1e-9), 1.0)
     build_proj_8chip_s = round(
-        build_steady_s * (1.0 - search_frac + search_frac / 8.0), 1)
+        build_steady_s * (1.0 - par_frac + par_frac / 8.0), 1)
     log(f"bench: steady {steady_rate:.0f} rows/s → {build_steady_s:.1f}s at n; "
-        f"phases {build_phases} (search {search_frac:.0%}) → "
+        f"phases {build_phases} (device-parallel {par_frac:.0%}) → "
         f"8-chip projection {build_proj_8chip_s}s")
 
     results = []

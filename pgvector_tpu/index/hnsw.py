@@ -782,6 +782,27 @@ class HNSWIndex:
                 chunk = min(2048, _round_pow2(b_lvl * lm))
                 if self.kind == "sparse":
                     chunk = min(chunk, self._sparse_pair_rows_cap())
+                mesh = self.build_mesh
+                ndev = len(mesh.devices.flat) if mesh is not None else 1
+                if (mesh is not None and ndev > 1 and b_lvl % ndev == 0
+                        and b_lvl >= ndev and not K.use_host_loop()):
+                    # mesh-parallel connect: the select pairwise and the
+                    # backlink merge chunks split over the devices — with
+                    # wave_search_sharded this makes BOTH build phases
+                    # data-parallel (the measured phase split has connect
+                    # ≥ search at 1M, so sharding only the search capped
+                    # the v5e-8 projection at ~1.4×)
+                    (self.nbr0, self.nbr_up, self.kept0, self.kept_up) = \
+                        K.connect_level_sharded(
+                            mesh, self.kind, self.metric, self.values,
+                            self.nbr0, self.nbr_up, self.kept0, self.kept_up,
+                            self._up_slot_dev, e_lvl, elig_dev, jnp.int32(lc),
+                            pd, pi,
+                            level0=(lc == 0), m=self.m,
+                            mi=min(self.m, b_lvl), smax=lm, chunk=chunk,
+                            sdim=self._pair_sdim(),
+                        )
+                    continue
                 (self.nbr0, self.nbr_up, self.kept0, self.kept_up) = \
                     K.connect_level(
                         self.kind, self.metric, self.values,

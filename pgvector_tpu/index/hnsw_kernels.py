@@ -1168,6 +1168,164 @@ def connect_level(kind, metric, values, nbr0, nbr_up, kept0, kept_up,
     return nbr0, nbr_up, kept0, kept_up
 
 
+@functools.lru_cache(maxsize=None)
+def _connect_sharded_fn(mesh, kind, metric, level0: bool, m: int, mi: int,
+                        smax: int, chunk: int, sdim: int):
+    """Build (and cache) the jitted shard_map program for
+    connect_level_sharded.  ``mesh`` participates in the cache key (Mesh is
+    hashable); graph arrays are donated so updates happen in place on every
+    replica."""
+    import jax.sharding as shd
+
+    ax = mesh.axis_names[0]
+    ndev = int(mesh.devices.size)
+    lm = 2 * m if level0 else m
+
+    def body(values, nbr0, nbr_up, kept0, kept_up, up_slot, elems, eligible,
+             level, pool_d, pool_i):
+        didx = jax.lax.axis_index(ax)
+        b = elems.shape[0]
+        b_loc = b // ndev
+        lvl_idx = jnp.maximum(level - 1, 0)
+        # 1. blank ineligible rows + fold intra-wave candidates — the (B, B)
+        # block is cheap next to the select pairwise, so every device
+        # computes it in full (bit-identical to the fused kernel by
+        # construction) and then slices its row range
+        pool_d = jnp.where(eligible[:, None], pool_d, jnp.inf)
+        pool_i = jnp.where(eligible[:, None], pool_i, -1)
+        if mi > 0:
+            intra_d, intra_i = _intra_block(kind, metric, values, elems,
+                                            eligible, mi, sdim)
+            pool_d = jnp.concatenate([pool_d, intra_d], axis=1)
+            pool_i = jnp.concatenate([pool_i, intra_i], axis=1)
+        # 2. SelectNeighbors over this device's row slice — the (B/N, C, C)
+        # pairwise gather+matmul and the sequential select loop are the
+        # expensive terms this kernel distributes
+        pd_l = jax.lax.dynamic_slice_in_dim(pool_d, didx * b_loc, b_loc)
+        pi_l = jax.lax.dynamic_slice_in_dim(pool_i, didx * b_loc, b_loc)
+        pd_l, pi_l = _pad_lanes(pd_l, pi_l)
+        pair = _pairwise_dists(kind, metric, values, pi_l, sdim)
+        forced0 = jnp.zeros(pi_l.shape, jnp.bool_)
+        pos, kept = select_neighbors_batch(pd_l, pair, pi_l >= 0, lm, forced0)
+        sel_l = _row_gather(pi_l, jnp.maximum(pos, 0))
+        sel_l = jnp.where(pos >= 0, sel_l, -1)
+        seld_l = jnp.where(pos >= 0, _row_gather(pd_l, jnp.maximum(pos, 0)),
+                           jnp.inf)
+        keptf_l = kept & (pos >= 0)
+        sel = jax.lax.all_gather(sel_l, ax, tiled=True)        # (B, lm)
+        sel_d = jax.lax.all_gather(seld_l, ax, tiled=True)
+        keptf = jax.lax.all_gather(keptf_l, ax, tiled=True)
+        # 3. own-list writes — replicated (every device applies the same
+        # scatter so graph replicas stay bit-identical)
+        if level0:
+            w = jnp.where(eligible, elems, nbr0.shape[0])
+            nbr0 = nbr0.at[w].set(sel, mode="drop")
+            kept0 = kept0.at[w].set(keptf, mode="drop")
+        else:
+            slots = up_slot[jnp.maximum(elems, 0)]
+            okw = eligible & (slots >= 0)
+            wu = jnp.where(okw, slots, nbr_up.shape[0])
+            nbr_up = nbr_up.at[wu, lvl_idx].set(sel, mode="drop")
+            kept_up = kept_up.at[wu, lvl_idx].set(keptf, mode="drop")
+        # 4. backlinks: group edges replicated (one small sort), then merge
+        # this device's contiguous slice of target rows.  Padding to
+        # chunk·ndev keeps every device's chunk boundaries on the fused
+        # kernel's global 0, chunk, 2·chunk… grid, so each chunk sees
+        # byte-identical rows
+        tgt = sel.reshape(-1)
+        src = jnp.repeat(jnp.where(eligible, elems, -1), lm)
+        d_e = sel_d.reshape(-1)
+        targets, new_src, u_count = _group_edges(tgt, src, d_e, smax)
+        e_rows = targets.shape[0]
+        pad_rows = (-e_rows) % (chunk * ndev)
+        if pad_rows:
+            targets = jnp.concatenate(
+                [targets, jnp.full((pad_rows,), -1, jnp.int32)])
+            new_src = jnp.concatenate(
+                [new_src, jnp.full((pad_rows, smax), -1, jnp.int32)])
+        rows_loc = targets.shape[0] // ndev
+        t_loc = jax.lax.dynamic_slice_in_dim(targets, didx * rows_loc,
+                                             rows_loc)
+        s_loc = jax.lax.dynamic_slice(new_src, (didx * rows_loc, 0),
+                                      (rows_loc, smax))
+        n_chunks_loc = rows_loc // chunk
+        acc_l = jnp.full((rows_loc, lm), -1, jnp.int32)
+        acc_k = jnp.zeros((rows_loc, lm), jnp.bool_)
+
+        def cond(state):
+            i = state[0]
+            return (i < n_chunks_loc) & (didx * rows_loc + i * chunk < u_count)
+
+        def loop(state):
+            i, acc_l, acc_k = state
+            t_c = jax.lax.dynamic_slice(t_loc, (i * chunk,), (chunk,))
+            s_c = jax.lax.dynamic_slice(s_loc, (i * chunk, 0), (chunk, smax))
+            if level0:
+                okc = t_c >= 0
+                old = jnp.where(okc[:, None], nbr0[jnp.maximum(t_c, 0)], -1)
+                oldk = kept0[jnp.maximum(t_c, 0)] & okc[:, None]
+            else:
+                slots_c = up_slot[jnp.maximum(t_c, 0)]
+                okc = (t_c >= 0) & (slots_c >= 0)
+                old = jnp.where(okc[:, None],
+                                nbr_up[jnp.maximum(slots_c, 0), lvl_idx], -1)
+                oldk = kept_up[jnp.maximum(slots_c, 0), lvl_idx] & okc[:, None]
+            new_l, new_k = _merge_wholesale_core(
+                kind, metric, values, old, oldk, s_c,
+                jnp.where(okc, t_c, -1), lm, sdim)
+            new_l = jnp.where(okc[:, None], new_l, -1)
+            acc_l = jax.lax.dynamic_update_slice(acc_l, new_l, (i * chunk, 0))
+            acc_k = jax.lax.dynamic_update_slice(acc_k, new_k & okc[:, None],
+                                                 (i * chunk, 0))
+            return i + 1, acc_l, acc_k
+
+        _, acc_l, acc_k = jax.lax.while_loop(cond, loop,
+                                             (jnp.int32(0), acc_l, acc_k))
+        acc_l = jax.lax.all_gather(acc_l, ax, tiled=True)      # (E_pad, lm)
+        acc_k = jax.lax.all_gather(acc_k, ax, tiled=True)
+        done_rows = (jnp.arange(targets.shape[0], dtype=jnp.int32)
+                     < u_count) & (targets >= 0)
+        if level0:
+            w = jnp.where(done_rows, targets, nbr0.shape[0])
+            nbr0 = nbr0.at[w].set(acc_l, mode="drop")
+            kept0 = kept0.at[w].set(acc_k, mode="drop")
+        else:
+            slots_t = up_slot[jnp.maximum(targets, 0)]
+            okw2 = done_rows & (slots_t >= 0)
+            wu = jnp.where(okw2, slots_t, nbr_up.shape[0])
+            nbr_up = nbr_up.at[wu, lvl_idx].set(acc_l, mode="drop")
+            kept_up = kept_up.at[wu, lvl_idx].set(acc_k, mode="drop")
+        return nbr0, nbr_up, kept0, kept_up
+
+    P = shd.PartitionSpec
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(),) * 11, out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(1, 2, 3, 4))
+
+
+def connect_level_sharded(mesh, kind, metric, values, nbr0, nbr_up, kept0,
+                          kept_up, up_slot, elems, eligible, level, pool_d,
+                          pool_i, *, level0: bool, m: int, mi: int, smax: int,
+                          chunk: int, sdim: int = 0):
+    """Mesh-parallel connect_level: SelectNeighbors rows and backlink-merge
+    chunks distribute over the devices (the compute-heavy terms), two tiny
+    all_gathers restore replicated (B, lm)/(E, lm) results, and every device
+    applies the same graph scatters — replicas stay bit-identical to the
+    fused single-device kernel (asserted in tests/test_parallel.py).
+
+    Together with wave_search_sharded this makes BOTH build phases
+    data-parallel over the mesh — the SPMD counterpart of the reference's
+    N-process shared-memory build (hnswbuild.c:925-1062), where workers
+    share the search AND the UpdateGraphInMemory work."""
+    fn = _connect_sharded_fn(mesh, kind, metric, level0, m, mi, smax, chunk,
+                             sdim)
+    return fn(values, nbr0, nbr_up, kept0, kept_up, up_slot, elems, eligible,
+              level, pool_d, pool_i)
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "metric", "mi", "sdim"))
 def intra_wave_candidates(kind, metric, values, elems, eligible, mi: int,
                           sdim: int = 0):

@@ -124,11 +124,14 @@ def test_vacuum_repairs_upper_levels(rng):
 
 
 def test_sparse_wave_clamp_is_structural_no_notice(rng):
-    """Sparse builds clamp waves/merge chunks to the pairwise-gather HBM
-    bound (merge-join defeats XLA fusion — a 1024-row sparse wave
+    """Sparse builds clamp waves/merge chunks to the pairwise-transient HBM
+    bound (merge-join gathers defeat XLA fusion — a 1024-row sparse wave
     compile-OOM'd at 36.5 GB on v5e).  The clamp is structural, NOT the
     maintenance_work_mem cliff, so the reference's memory NOTICE
-    (hnswbuild.c:538-543) must not fire for it."""
+    (hnswbuild.c:538-543) must not fire for it.  L1 pins the merge-join
+    path (no matmul form — hnsw._pair_sdim); IP at small dim rides the
+    densified-select path whose far smaller (C, dim) transients must lift
+    the clamp entirely."""
     from pgvector_tpu.store.table import SparseTable
     from pgvector_tpu.types.sparsevec import SparseVec
 
@@ -142,11 +145,11 @@ def test_sparse_wave_clamp_is_structural_no_notice(rng):
     table.insert([SparseVec(dim, idx[i], val[i], _checked=True)
                   for i in range(n)])
     msgs = []
-    h = HNSWIndex(table, Metric.IP, m=8, ef_construction=32,
+    h = HNSWIndex(table, Metric.L1, m=8, ef_construction=32,
                   wave_size=1024, dedup=False, notice_hook=msgs.append)
     cap = h._sparse_pair_rows_cap()
     assert h._wave_eff <= cap < 1024
-    # pow2 and bounded by the 2 GB transient model
+    # pow2 and bounded by the 2 GB merge-join transient model
     c = ((32 + 8 + 127) // 128) * 128
     lanes = ((nnz + 127) // 128) * 128
     assert cap * c * c * lanes * 8 <= (2 << 30)
@@ -154,6 +157,16 @@ def test_sparse_wave_clamp_is_structural_no_notice(rng):
     # graph is still functional
     _, r = h.search([SparseVec(dim, idx[0], val[0], _checked=True)], 3)
     assert r[0, 0] >= 0
+    # densified-select path (IP, dim·4 < C·lanes·8): (C, dim) scatter
+    # blocks shrink per-row transients ~80× here, so the 2 GB bound no
+    # longer forces a sub-wave clamp at this scale
+    h_ip = HNSWIndex(table, Metric.IP, m=8, ef_construction=32,
+                     wave_size=1024, dedup=False, notice_hook=msgs.append)
+    cap_ip = h_ip._sparse_pair_rows_cap()
+    assert h_ip._pair_sdim() == dim
+    assert cap_ip >= 1024 and h_ip._wave_eff == 1024
+    per_row = c * dim * 4 * 2 + 4 * c * c
+    assert cap_ip * per_row <= (2 << 30)
     # hnsw.sparse_pair_bytes overrides the transient bound (axon worker
     # hard-crash mitigation, round-3 session 6; the env var
     # PGVECTOR_TPU_SPARSE_PAIR_BYTES seeds this knob once at import): a
