@@ -261,6 +261,8 @@ class HNSWIndex:
         self._nbr_vals: Optional[jnp.ndarray] = None
         #: cached (D, D') sketch projection for the projected packed scan
         self._sketch_P: Optional[jnp.ndarray] = None
+        #: per-dim dequant scale of the int8 packed cache (set when built)
+        self._nbr_scale: Optional[jnp.ndarray] = None
 
     def _sync_device_meta(self) -> None:
         if self._dirty:
@@ -1026,16 +1028,18 @@ class HNSWIndex:
     def _packed_plan(self):
         """Scan-path value packing plan: (dtype | None, sketch_dim).
 
-        PGVECTOR_TPU_PACKED_SCAN: auto/off/f32/bf16/sketch.  ``auto``
+        PGVECTOR_TPU_PACKED_SCAN: auto/off/f32/bf16/int8/sketch.  ``auto``
         packs dense indexes on TPU when the duplicated (cap, 2m, D) copy
         fits a conservative HBM budget — f32 when small enough (bit-exact
         vs the row-gather path), bf16 at 1M×128-d scale (≤8 GB; exact f32
-        re-rank restores final ordering).  Beyond that (e.g. 1M×960-d
-        needs 61 GB f32 / 30.5 GB bf16 — over a v5e's 16 GB even int4),
-        ``auto`` falls back to a **sketched** cache: neighbor values
-        randomly projected D→D' (PGVECTOR_TPU_SKETCH_DIM, default the
-        largest 128-multiple whose bf16 cache fits the budget) so hops
-        still ride contiguous slab gathers; pool admission is then
+        re-rank restores final ordering), then **int8** with a per-dim
+        scale dequantized in-kernel (half bf16's bytes, ≤0.4%-of-range
+        per-element error — GIST-960d at 200k is 6.1 GB here).  Beyond
+        that (e.g. 1M×960-d needs 61 GB f32 / 15 GB int8 — over a v5e's
+        16 GB), ``auto`` falls back to a **sketched** cache: neighbor
+        values randomly projected D→D' (PGVECTOR_TPU_SKETCH_DIM, default
+        the largest 128-multiple whose bf16 cache fits the budget) so
+        hops still ride contiguous slab gathers; pool admission is then
         approximate (JL-distorted) and the exact-f32 re-rank of the final
         pool restores the emitted ordering.  sketch_dim == 0 means the
         cache holds full-width values."""
@@ -1047,8 +1051,9 @@ class HNSWIndex:
             # uint32 words and sparse tables (idx, val) pairs — forcing the
             # mode on those would feed the wrong layout to the dense scorer
             return None, 0
-        if mode in ("f32", "bf16"):
-            return (jnp.float32 if mode == "f32" else jnp.bfloat16), 0
+        if mode in ("f32", "bf16", "int8"):
+            return {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                    "int8": jnp.int8}[mode], 0
         if mode == "sketch":
             return jnp.bfloat16, self._sketch_dim()
         if jax.default_backend() != "tpu":
@@ -1058,6 +1063,8 @@ class HNSWIndex:
             return jnp.float32, 0
         if f32_bytes // 2 <= 9 << 30:
             return jnp.bfloat16, 0
+        if f32_bytes // 4 <= 9 << 30:
+            return jnp.int8, 0
         sk = self._sketch_dim()
         if sk and self.metric in (Metric.L2, Metric.IP, Metric.COSINE):
             return jnp.bfloat16, sk
@@ -1102,6 +1109,19 @@ class HNSWIndex:
             vecs = jnp.concatenate(
                 [vecs[s: s + (1 << 18)].astype(jnp.float32) @ p
                  for s in range(0, vecs.shape[0], 1 << 18)]).astype(dtype)
+        elif dtype == jnp.int8:
+            # symmetric per-dim quantization; the scale dequantizes in the
+            # hop kernel (K._hop_body), so scores stay true f32 distance
+            # estimates and the exact re-rank restores final ordering
+            scale = jnp.maximum(
+                jnp.max(jnp.abs(vecs.astype(jnp.float32)), axis=0), 1e-30
+            ) / 127.0
+            self._nbr_scale = scale
+            vecs = jnp.concatenate(
+                [jnp.clip(jnp.round(
+                    vecs[s: s + (1 << 18)].astype(jnp.float32) / scale),
+                    -127, 127).astype(jnp.int8)
+                 for s in range(0, vecs.shape[0], 1 << 18)])
         chunk = min(1 << 16, self.cap_e)
         # fill a donated buffer chunk-by-chunk: the packed copy is up to
         # ~8 GB at 1M×128-d — concatenation would transiently double it
@@ -1126,6 +1146,9 @@ class HNSWIndex:
         if packed_vals is not None and sketch:
             qs_packed = (qs.astype(jnp.float32)
                          @ self._sketch_proj(sketch)).astype(pdt)
+        packed_scale = (self._nbr_scale
+                        if packed_vals is not None and pdt == jnp.int8
+                        else None)
         query_fn = K.query_search_host if K.use_host_loop() else K.query_search
         d, r, steps = query_fn(
             self.kind, self.metric, self.values,
@@ -1138,6 +1161,7 @@ class HNSWIndex:
             vmode=K.visited_mode(),
             packed_vals=packed_vals,
             qs_packed=qs_packed,
+            packed_scale=packed_scale,
             rerank=(pdt is not None and (pdt != jnp.float32 or sketch > 0)),
             # experimental straggler cap: bound layer-0 hops (recall trade)
             max_steps=int(__import__("os").environ.get(

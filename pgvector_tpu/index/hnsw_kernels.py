@@ -377,10 +377,18 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     nbrs = nb.reshape(nq, -1)
     if packed is not None:
         # ---- packed-adjacency scoring path ----
-        nbr_vals, qs_p = packed
+        nbr_vals, qs_p, pscale = (packed if len(packed) == 3
+                                  else (*packed, None))
         w = nbrs.shape[1]
         pv = nbr_vals[jnp.maximum(sel_flat, 0)]  # (Q·E, lm, D) slab gather
         v = pv.reshape(nq, w, pv.shape[-1])
+        if pscale is not None:
+            # int8 cache: dequantize with the per-dim scale — the multiply
+            # fuses into the score subtraction (VPU), so the hop reads HALF
+            # the bytes of bf16 at ~0.4%-of-range per-element error (vs the
+            # ~10% distance distortion of a 960→256 JL sketch, which
+            # collapsed GIST ef=40 recall to 0.42 — BENCH r4 session 1)
+            v = v.astype(jnp.float32) * pscale
         if pallas_tail and disc is None and vmode == "off":
             # fused VMEM tail: dedup + in-pool + merge in one kernel
             # (bit-identical to the unfused path — pallas_hop docstring)
@@ -1519,7 +1527,7 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                  l_unroll: int, k: int, heaptids: int, expand: int = 1,
                  vmode: str = "hash2", packed_vals=None, rerank: bool = False,
                  max_steps: int = 0, pallas_tail: bool = False,
-                 qs_packed=None):
+                 qs_packed=None, packed_scale=None):
     """Algorithm 5 (hnswscan.c:25-56), TPU mono-jit.
 
     ``packed_vals`` — optional adjacency-packed neighbor values
@@ -1543,7 +1551,8 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                                     m, max_steps=512)
     visited = visited_init(nq, ef, vmode)
     if packed_vals is not None:
-        packed = (packed_vals, qs if qs_packed is None else qs_packed)
+        packed = (packed_vals, qs if qs_packed is None else qs_packed,
+                  packed_scale)
     else:
         packed = None
     pool_d, pool_i, _, steps = search_layer(
@@ -1636,7 +1645,7 @@ def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                       expand: int = 1, vmode: str = "hash2",
                       packed_vals=None, rerank: bool = False,
                       max_steps: int = 0, pallas_tail: bool = False,
-                      qs_packed=None):
+                      qs_packed=None, packed_scale=None):
     """CPU variant of Algorithm 5 with host-driven loops.  The packed-
     adjacency path is a device-gather optimization; the host driver always
     scores via row gathers (packed_vals/rerank/pallas_tail accepted for

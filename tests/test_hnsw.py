@@ -3,6 +3,7 @@ TAP suite: build recall (test/t/012), insert recall (013), vacuum recall
 (014), duplicate handling (015), iterative scans (041/043), option bounds
 (hnsw.c:238-250)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -249,6 +250,20 @@ def test_packed_scan_matches_row_gather(data, monkeypatch):
         for j, r in enumerate(r2[qi]):
             if r >= 0:
                 assert abs(d2[qi, j] - lut[(qi, int(r))]) < 1e-5
+    # int8 + per-dim dequant scale + rerank: half bf16's scan bytes, same
+    # contracts — recall floor holds and emitted distances are exact f32
+    monkeypatch.setenv("PGVECTOR_TPU_PACKED_SCAN", "int8")
+    idx._nbr_vals = None
+    d3, r3 = idx.search(q, 10, ef_search=80)
+    assert idx._nbr_vals.dtype == jnp.int8
+    assert idx._nbr_scale.shape == (db.shape[1],)
+    assert recall_at_k(r3, e_i) >= 0.92
+    lut3 = {(qi, int(r)): flat_d[qi][list(flat_i[qi]).index(r)]
+            for qi in range(len(q)) for r in r3[qi] if r >= 0}
+    for qi in range(len(q)):
+        for j, r in enumerate(r3[qi]):
+            if r >= 0:
+                assert abs(d3[qi, j] - lut3[(qi, int(r))]) < 1e-5
 
 
 def test_packed_scan_invalidated_by_mutation(data, monkeypatch):
