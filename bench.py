@@ -346,9 +346,11 @@ def main():
             gist["sweep"].append({"ef": ef,
                                   "recall_at_10": round(hits / (nq * k), 4),
                                   "qps": round(nq / dt, 1)})
-        gist["packed_scan"] = ("sketch%d" % gidx._packed_plan()[1]
-                               if gidx._packed_plan()[1]
-                               else str(gidx._packed_plan()[0]))
+        pdt_g, sk_g = gidx._packed_plan()
+        gist["packed_scan"] = (
+            "sketch%d+prune%s" % (sk_g, os.environ.get(
+                "PGVECTOR_TPU_SKETCH_PRUNE", "64"))
+            if sk_g else jnp.dtype(pdt_g).name if pdt_g else "off")
         gidx._nbr_vals = None
         del gidx, gtab
         log(f"bench: gist {gist}")

@@ -47,7 +47,9 @@ save()
 print("build", gist["build_s"], flush=True)
 gidx.beam_expand = qexpand
 pdt, sk = gidx._packed_plan()
-gist["packed_scan"] = f"sketch{sk}" if sk else str(pdt)
+gist["packed_scan"] = (
+    f"sketch{sk}+prune{os.environ.get('PGVECTOR_TPU_SKETCH_PRUNE', '64')}"
+    if sk else jnp.dtype(pdt).name if pdt else "off")
 for ef in (40, 100):
     gidx.search(gqs[:batch], k, ef_search=ef)
     t0 = time.time()

@@ -1149,6 +1149,13 @@ class HNSWIndex:
         packed_scale = (self._nbr_scale
                         if packed_vals is not None and pdt == jnp.int8
                         else None)
+        # hybrid two-level hop for sketched caches: sketch scores prune the
+        # hop's candidates, exact row gathers re-score the survivors before
+        # pool admission (K._hop_body).  0 disables (sketch-only admission).
+        prune = 0
+        if packed_vals is not None and sketch:
+            prune = int(__import__("os").environ.get(
+                "PGVECTOR_TPU_SKETCH_PRUNE", 64))
         query_fn = K.query_search_host if K.use_host_loop() else K.query_search
         d, r, steps = query_fn(
             self.kind, self.metric, self.values,
@@ -1162,6 +1169,7 @@ class HNSWIndex:
             packed_vals=packed_vals,
             qs_packed=qs_packed,
             packed_scale=packed_scale,
+            prune=prune,
             rerank=(pdt is not None and (pdt != jnp.float32 or sketch > 0)),
             # experimental straggler cap: bound layer-0 hops (recall trade)
             max_steps=int(__import__("os").environ.get(

@@ -319,7 +319,8 @@ def visited_probe(table: jnp.ndarray, elems: jnp.ndarray,
 
 def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
               ef: int, expand: int = 1, disc=None, vmode: str = "hash2",
-              packed=None, metric=None, pallas_tail: bool = False):
+              packed=None, metric=None, pallas_tail: bool = False,
+              prune: int = 0):
     """One expansion hop: pop the ``expand`` nearest unexpanded candidates
     per query, gather their neighbors, score the unvisited ones, merge into
     the pool.  expand=1 is exactly Algorithm 2's best-first order;
@@ -413,6 +414,20 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
         visited, seen = visited_probe(visited, nbrs, vmode)
         nbrs = jnp.where(seen, -1, nbrs)
         nd = dense_point_scores(metric, qs_p, v, nbrs)
+        if prune and prune < nbrs.shape[1]:
+            # hybrid two-level hop (sketched caches): the JL-distorted slab
+            # scores only PRUNE the hop's w candidates to the top ``prune``;
+            # those are re-scored exactly via row gathers before pool
+            # admission, so the pool holds true distances (sketch-only
+            # admission collapsed GIST-1M ef=40 recall to 0.42).  Gathered
+            # rows drop w→prune vs the plain row-gather path; candidates
+            # pruned away are already marked visited and stay lost — the
+            # recall trade is bounded by the within-hop top-``prune``
+            # quality of the sketch, far gentler than pool-wide JL ordering.
+            _, selc = jax.lax.top_k(-nd, prune)
+            nbrs = jnp.take_along_axis(nbrs, selc, axis=1)
+            nd = score(qs, nbrs)
+            nd = jnp.where(nbrs >= 0, nd, jnp.inf)
         return _hop_merge(pool_d, pool_i, pool_x, nbrs, nd, visited, ef,
                           disc, done)
     # dedupe within the hop (two expanded nodes sharing a neighbor):
@@ -513,7 +528,7 @@ def _init_pool(qs, init_d, init_i, ef: int):
 def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
                  ef: int, max_steps: int, expand: int = 1,
                  disc=None, vmode: str = "hash2", packed=None, metric=None,
-                 pallas_tail: bool = False):
+                 pallas_tail: bool = False, prune: int = 0):
     """Algorithm 2 (HnswSearchLayer, hnswutils.c:822-985), batched, as a
     traced while_loop — for use inside the TPU mono-jits.
 
@@ -540,7 +555,7 @@ def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
                 _hop_body(
                     score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
                     ef, expand, disc=(dd, di), vmode=vmode, packed=packed,
-                    metric=metric, pallas_tail=pallas_tail,
+                    metric=metric, pallas_tail=pallas_tail, prune=prune,
                 )
             return (pool_d, pool_i, pool_x, visited, dd, di, step + 1, done,
                     sc + scored)
@@ -557,7 +572,7 @@ def search_layer(score, neighbors_of, qs, init_d, init_i, visited,
         pool_d, pool_i, pool_x, visited, done = _hop_body(
             score, neighbors_of, qs, pool_d, pool_i, pool_x, visited, ef,
             expand, vmode=vmode, packed=packed, metric=metric,
-            pallas_tail=pallas_tail,
+            pallas_tail=pallas_tail, prune=prune,
         )
         return pool_d, pool_i, pool_x, visited, step + 1, done
 
@@ -1520,14 +1535,15 @@ def _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k: int,
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "metric", "ef", "m", "l_unroll", "k", "heaptids",
-                     "expand", "vmode", "rerank", "max_steps", "pallas_tail"),
+                     "expand", "vmode", "rerank", "max_steps", "pallas_tail",
+                     "prune"),
 )
 def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                  row_valid, fmask, qs, entry, entry_level, ef: int, m: int,
                  l_unroll: int, k: int, heaptids: int, expand: int = 1,
                  vmode: str = "hash2", packed_vals=None, rerank: bool = False,
                  max_steps: int = 0, pallas_tail: bool = False,
-                 qs_packed=None, packed_scale=None):
+                 qs_packed=None, packed_scale=None, prune: int = 0):
     """Algorithm 5 (hnswscan.c:25-56), TPU mono-jit.
 
     ``packed_vals`` — optional adjacency-packed neighbor values
@@ -1560,7 +1576,7 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
         cur[:, None], visited, ef=ef,
         max_steps=max_steps or (8 * ef + 64),
         expand=expand, vmode=vmode, packed=packed, metric=metric,
-        pallas_tail=pallas_tail,
+        pallas_tail=pallas_tail, prune=prune,
     )
     if rerank:
         pool_d = score(qs, pool_i)  # exact f32 distances for the final pool
@@ -1645,7 +1661,7 @@ def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                       expand: int = 1, vmode: str = "hash2",
                       packed_vals=None, rerank: bool = False,
                       max_steps: int = 0, pallas_tail: bool = False,
-                      qs_packed=None, packed_scale=None):
+                      qs_packed=None, packed_scale=None, prune: int = 0):
     """CPU variant of Algorithm 5 with host-driven loops.  The packed-
     adjacency path is a device-gather optimization; the host driver always
     scores via row gathers (packed_vals/rerank/pallas_tail accepted for
