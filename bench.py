@@ -498,10 +498,19 @@ def main():
         t0 = time.time()
         _, sgt = FlatIndex(stab, Metric.IP).search(sq, k)
         sgt_s = time.time() - t0
-        t0 = time.time()
-        sidx = HNSWIndex(stab, Metric.IP, m=m, ef_construction=64,
-                         wave_size=1024, dedup=False, beam_expand=expand)
-        s_build = time.time() - t0
+        log(f"bench: sparse gt {sgt_s:.1f}s")
+        # bound pairwise transients at 512 MB: the axon remote worker has
+        # hard-crashed (wedging the client forever) on larger sparse
+        # merge-join/densify temps — round-3 session-6 mitigation, and the
+        # r4 default-2GB run wedged 47 min into this lane
+        from pgvector_tpu import config as _cfg
+
+        with _cfg.local(**{"hnsw.sparse_pair_bytes": 512 << 20}):
+            t0 = time.time()
+            sidx = HNSWIndex(stab, Metric.IP, m=m, ef_construction=64,
+                             wave_size=1024, dedup=False, beam_expand=expand)
+            s_build = time.time() - t0
+        log(f"bench: sparse build {s_build:.1f}s")
         sidx.beam_expand = qexpand
         sparse_lane = {"n": sn, "dim": sdim, "nnz": snnz,
                        "build_s": round(s_build, 1),
