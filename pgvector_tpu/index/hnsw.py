@@ -261,8 +261,10 @@ class HNSWIndex:
         self._nbr_vals: Optional[jnp.ndarray] = None
         #: cached (D, D') sketch projection for the projected packed scan
         self._sketch_P: Optional[jnp.ndarray] = None
-        #: per-dim dequant scale of the int8 packed cache (set when built)
+        #: per-dim dequant scale + exact per-row dequantized norms of the
+        #: int8 packed cache (set when that cache is built)
         self._nbr_scale: Optional[jnp.ndarray] = None
+        self._nbr_norm2: Optional[jnp.ndarray] = None
 
     def _sync_device_meta(self) -> None:
         if self._dirty:
@@ -1063,7 +1065,10 @@ class HNSWIndex:
             return jnp.float32, 0
         if f32_bytes // 2 <= 9 << 30:
             return jnp.bfloat16, 0
-        if f32_bytes // 4 <= 9 << 30:
+        if (f32_bytes // 4 <= 9 << 30
+                and self.metric in (Metric.L2, Metric.IP, Metric.COSINE)):
+            # int8 needs the dot-form scorer (L1 would re-materialize an
+            # f32 slab — the thing this tier exists to avoid)
             return jnp.int8, 0
         sk = self._sketch_dim()
         if sk and self.metric in (Metric.L2, Metric.IP, Metric.COSINE):
@@ -1110,18 +1115,26 @@ class HNSWIndex:
                 [vecs[s: s + (1 << 18)].astype(jnp.float32) @ p
                  for s in range(0, vecs.shape[0], 1 << 18)]).astype(dtype)
         elif dtype == jnp.int8:
-            # symmetric per-dim quantization; the scale dequantizes in the
-            # hop kernel (K._hop_body), so scores stay true f32 distance
+            # symmetric per-dim quantization; the hop kernel scores the
+            # slab via an int8×int8→int32 MXU dot against the scale-folded
+            # re-quantized query plus these exact dequantized-row norms
+            # (K._int8_point_scores), so scores stay true f32 distance
             # estimates and the exact re-rank restores final ordering
             scale = jnp.maximum(
                 jnp.max(jnp.abs(vecs.astype(jnp.float32)), axis=0), 1e-30
             ) / 127.0
             self._nbr_scale = scale
-            vecs = jnp.concatenate(
-                [jnp.clip(jnp.round(
+            qchunks = []
+            nchunks = []
+            for s in range(0, vecs.shape[0], 1 << 18):
+                q8 = jnp.clip(jnp.round(
                     vecs[s: s + (1 << 18)].astype(jnp.float32) / scale),
                     -127, 127).astype(jnp.int8)
-                 for s in range(0, vecs.shape[0], 1 << 18)])
+                qchunks.append(q8)
+                nchunks.append(jnp.sum(
+                    jnp.square(q8.astype(jnp.float32) * scale), axis=1))
+            vecs = jnp.concatenate(qchunks)
+            self._nbr_norm2 = jnp.concatenate(nchunks)
         chunk = min(1 << 16, self.cap_e)
         # fill a donated buffer chunk-by-chunk: the packed copy is up to
         # ~8 GB at 1M×128-d — concatenation would transiently double it
@@ -1146,9 +1159,9 @@ class HNSWIndex:
         if packed_vals is not None and sketch:
             qs_packed = (qs.astype(jnp.float32)
                          @ self._sketch_proj(sketch)).astype(pdt)
-        packed_scale = (self._nbr_scale
-                        if packed_vals is not None and pdt == jnp.int8
-                        else None)
+        is_int8 = packed_vals is not None and pdt == jnp.int8
+        packed_scale = self._nbr_scale if is_int8 else None
+        packed_norm2 = self._nbr_norm2 if is_int8 else None
         # hybrid two-level hop for sketched caches: sketch scores prune the
         # hop's candidates, exact row gathers re-score the survivors before
         # pool admission (K._hop_body).  0 disables (sketch-only admission).
@@ -1169,6 +1182,7 @@ class HNSWIndex:
             packed_vals=packed_vals,
             qs_packed=qs_packed,
             packed_scale=packed_scale,
+            packed_norm2=packed_norm2,
             prune=prune,
             rerank=(pdt is not None and (pdt != jnp.float32 or sketch > 0)),
             # experimental straggler cap: bound layer-0 hops (recall trade)

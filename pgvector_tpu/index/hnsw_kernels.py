@@ -152,6 +152,40 @@ def dense_point_scores(metric: Metric, qs, vf, rows):
     return jnp.where(rows >= 0, d, jnp.inf)
 
 
+def _int8_point_scores(metric: Metric, qs_p, pscale, pnorm2, v, nbrs):
+    """Scores against an int8 per-dim-scaled neighbor slab WITHOUT
+    materializing an f32 copy of the (Q, W, D) block — the explicit
+    dequant-multiply form OOM'd HBM at 960-d×batch-4000 (HLO temps 9.71 G
+    on a 15.75 G chip, r4 lane 1).  The cross term q·(s⊙c) rides a native
+    int8×int8→int32 MXU dot with the scale-folded query re-quantized
+    per row; L2 closes with q² and exact precomputed dequantized-row
+    norms.  Query-side quantization adds ≤1/127 relative error on top of
+    the cache's ≤1/254 — admission stays near-exact and the final pool is
+    exact-f32 re-ranked regardless.  L1 has no dot form and keeps the
+    elementwise dequant (memory-heavy at huge dims — the auto plan only
+    picks int8 for L2/IP/cosine)."""
+    qf = qs_p.astype(jnp.float32) * pscale          # (Q, D): q ⊙ s
+    if metric is Metric.L1:
+        d = jnp.sum(jnp.abs(qs_p.astype(jnp.float32)[:, None, :]
+                            - v.astype(jnp.float32) * pscale), axis=-1)
+        return jnp.where(nbrs >= 0, d, jnp.inf)
+    sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=1), 1e-30) / 127.0
+    qc = jnp.clip(jnp.round(qf / sq[:, None]), -127, 127).astype(jnp.int8)
+    cross = jax.lax.dot_general(
+        qc[:, None, :], v,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)[:, 0, :].astype(jnp.float32)
+    cross = cross * sq[:, None]
+    if metric is Metric.L2:
+        q2 = jnp.sum(jnp.square(qs_p.astype(jnp.float32)), axis=1)
+        d = q2[:, None] - 2.0 * cross + pnorm2[jnp.maximum(nbrs, 0)]
+    elif metric is Metric.IP or metric is Metric.COSINE:
+        d = -cross
+    else:
+        raise ValueError(metric)
+    return jnp.where(nbrs >= 0, d, jnp.inf)
+
+
 def elems_as_queries(kind: str, values, elems):
     """Use stored elements as the query side (build-time searches)."""
     safe = jnp.maximum(elems, 0)
@@ -378,24 +412,22 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     nbrs = nb.reshape(nq, -1)
     if packed is not None:
         # ---- packed-adjacency scoring path ----
-        nbr_vals, qs_p, pscale = (packed if len(packed) == 3
-                                  else (*packed, None))
+        if len(packed) == 4:
+            nbr_vals, qs_p, pscale, pnorm2 = packed
+        else:
+            nbr_vals, qs_p = packed[:2]
+            pscale = pnorm2 = None
         w = nbrs.shape[1]
         pv = nbr_vals[jnp.maximum(sel_flat, 0)]  # (Q·E, lm, D) slab gather
         v = pv.reshape(nq, w, pv.shape[-1])
-        if pscale is not None:
-            # int8 cache: dequantize with the per-dim scale — the multiply
-            # fuses into the score subtraction (VPU), so the hop reads HALF
-            # the bytes of bf16 at ~0.4%-of-range per-element error (vs the
-            # ~10% distance distortion of a 960→256 JL sketch, which
-            # collapsed GIST ef=40 recall to 0.42 — BENCH r4 session 1)
-            v = v.astype(jnp.float32) * pscale
         if pallas_tail and disc is None and vmode == "off":
             # fused VMEM tail: dedup + in-pool + merge in one kernel
             # (bit-identical to the unfused path — pallas_hop docstring)
             from ..ops import pallas_hop
 
-            nd = dense_point_scores(metric, qs_p, v, nbrs)
+            nd = (_int8_point_scores(metric, qs_p, pscale, pnorm2, v, nbrs)
+                  if pscale is not None
+                  else dense_point_scores(metric, qs_p, v, nbrs))
             pool_packed = pool_i * 2 + pool_x.astype(jnp.int32)
             d, pp = pallas_hop.hop_tail(pool_d, pool_packed, nd, nbrs,
                                         ef, w)
@@ -413,7 +445,9 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
         nbrs = jnp.where(in_pool, -1, nbrs)
         visited, seen = visited_probe(visited, nbrs, vmode)
         nbrs = jnp.where(seen, -1, nbrs)
-        nd = dense_point_scores(metric, qs_p, v, nbrs)
+        nd = (_int8_point_scores(metric, qs_p, pscale, pnorm2, v, nbrs)
+              if pscale is not None
+              else dense_point_scores(metric, qs_p, v, nbrs))
         if prune and prune < nbrs.shape[1]:
             # hybrid two-level hop (sketched caches): the JL-distorted slab
             # scores only PRUNE the hop's w candidates to the top ``prune``;
@@ -1543,7 +1577,8 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                  l_unroll: int, k: int, heaptids: int, expand: int = 1,
                  vmode: str = "hash2", packed_vals=None, rerank: bool = False,
                  max_steps: int = 0, pallas_tail: bool = False,
-                 qs_packed=None, packed_scale=None, prune: int = 0):
+                 qs_packed=None, packed_scale=None, packed_norm2=None,
+                 prune: int = 0):
     """Algorithm 5 (hnswscan.c:25-56), TPU mono-jit.
 
     ``packed_vals`` — optional adjacency-packed neighbor values
@@ -1568,7 +1603,7 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
     visited = visited_init(nq, ef, vmode)
     if packed_vals is not None:
         packed = (packed_vals, qs if qs_packed is None else qs_packed,
-                  packed_scale)
+                  packed_scale, packed_norm2)
     else:
         packed = None
     pool_d, pool_i, _, steps = search_layer(
@@ -1661,7 +1696,8 @@ def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                       expand: int = 1, vmode: str = "hash2",
                       packed_vals=None, rerank: bool = False,
                       max_steps: int = 0, pallas_tail: bool = False,
-                      qs_packed=None, packed_scale=None, prune: int = 0):
+                      qs_packed=None, packed_scale=None, packed_norm2=None,
+                      prune: int = 0):
     """CPU variant of Algorithm 5 with host-driven loops.  The packed-
     adjacency path is a device-gather optimization; the host driver always
     scores via row gathers (packed_vals/rerank/pallas_tail accepted for

@@ -458,3 +458,38 @@ def test_mesh_build_single_graph_bit_identical(mesh, rng):
     d1, r1 = one.search(q, 5, ef_search=40)
     d2, r2 = par.search(q, 5, ef_search=40)
     assert np.array_equal(np.asarray(r1), np.asarray(r2))
+
+
+@pytest.mark.parametrize("kind", ["bit", "sparse"])
+def test_mesh_build_bit_and_sparse_bit_identical(mesh, rng, kind):
+    """The mesh build's sharded wave-search and sharded connect must stay
+    bit-identical to the single-device build on the non-dense score paths
+    too: bit (popcount lanes) and sparse (densified/merge-join pairwise —
+    tuple-valued `values`/query pytrees through the shard_map specs)."""
+    from pgvector_tpu.index.hnsw import HNSWIndex
+    from pgvector_tpu.store.table import BitTable, SparseTable
+    from pgvector_tpu.types.sparsevec import SparseVec
+
+    n = 700
+    if kind == "bit":
+        bits = rng.random((n, 96)) > 0.5
+        table = BitTable(96, capacity=1024)
+        table.insert(bits)
+        metric = Metric.HAMMING
+    else:
+        dim, nnz = 120, 8
+        sidx = np.sort(np.argpartition(rng.random((n, dim)), nnz,
+                                       axis=1)[:, :nnz], axis=1).astype(np.int32)
+        sval = rng.normal(size=(n, nnz)).astype(np.float32)
+        sval[sval == 0] = 1.0
+        table = SparseTable(dim, nnz_cap=nnz, capacity=1024)
+        table.insert([SparseVec(dim, sidx[i], sval[i], _checked=True)
+                      for i in range(n)])
+        metric = Metric.IP
+    one = HNSWIndex(table, metric, m=8, ef_construction=32, wave_size=64,
+                    dedup=False, seed=9)
+    par = HNSWIndex(table, metric, m=8, ef_construction=32, wave_size=64,
+                    dedup=False, seed=9, build_mesh=mesh)
+    assert np.array_equal(np.asarray(one.nbr0), np.asarray(par.nbr0))
+    assert np.array_equal(np.asarray(one.nbr_up), np.asarray(par.nbr_up))
+    assert one.entry == par.entry and one.entry_level == par.entry_level
