@@ -222,6 +222,44 @@ def test_iterative_scan_resumption_contract(data):
         assert all(x % 25 == 0 for x in r[r >= 0].ravel())
 
 
+def test_int8_point_scores_match_f64_oracle(rng):
+    """K._int8_point_scores (the dot-form int8 slab scorer — no f32 slab
+    copy may exist, it OOM'd HBM at 960-d): distances must track the f64
+    oracle within the two-sided 8-bit quantization budget for L2/IP, and
+    invalid rows must score inf."""
+    import pgvector_tpu.index.hnsw_kernels as K
+
+    q_n, w, dim = 8, 16, 96
+    vals = rng.normal(size=(64, dim)).astype(np.float32)
+    qs = rng.normal(size=(q_n, dim)).astype(np.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(jnp.asarray(vals)), axis=0),
+                        1e-30) / 127.0
+    v8 = np.asarray(jnp.clip(jnp.round(vals / scale), -127, 127)
+                    ).astype(np.int8)
+    deq = v8.astype(np.float64) * np.asarray(scale, np.float64)
+    norm2 = jnp.asarray((deq ** 2).sum(axis=1).astype(np.float32))
+    nbrs = rng.integers(0, 64, size=(q_n, w)).astype(np.int32)
+    nbrs[:, -1] = -1
+    v = jnp.asarray(v8[np.maximum(nbrs, 0)])
+    for met, oracle in (
+        (Metric.L2, ((qs.astype(np.float64)[:, None, :]
+                      - deq[np.maximum(nbrs, 0)]) ** 2).sum(-1)),
+        (Metric.IP, -(qs.astype(np.float64)[:, None, :]
+                      * deq[np.maximum(nbrs, 0)]).sum(-1)),
+    ):
+        got = np.asarray(K._int8_point_scores(
+            met, jnp.asarray(qs), scale, norm2, v, jnp.asarray(nbrs)))
+        assert np.all(np.isinf(got[:, -1]))
+        ok = nbrs >= 0
+        # query-side re-quantization adds <= |q⊙s|_max/254 per dim; the
+        # 1.5x covers f32 accumulation rounding over the dim reduction
+        qmax = np.abs(qs * np.asarray(scale)).max(axis=1, keepdims=True)
+        vmax = np.abs(deq).max()
+        tol = 1.5 * dim * qmax / 254.0 * (2 * vmax + 2.0) + 1e-2
+        assert np.all(np.abs(got[ok] - oracle[ok])
+                      <= np.broadcast_to(tol, got.shape)[ok])
+
+
 def test_packed_scan_matches_row_gather(data, monkeypatch):
     """The adjacency-packed layer-0 scan is a gather-layout optimization —
     with f32 packing it must return EXACTLY the classic path's results
