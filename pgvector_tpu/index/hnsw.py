@@ -1038,13 +1038,14 @@ class HNSWIndex:
         scale dequantized in-kernel (half bf16's bytes, ≤0.4%-of-range
         per-element error — GIST-960d at 200k is 6.1 GB here).  Beyond
         that (e.g. 1M×960-d needs 61 GB f32 / 15 GB int8 — over a v5e's
-        16 GB), ``auto`` falls back to a **sketched** cache: neighbor
-        values randomly projected D→D' (PGVECTOR_TPU_SKETCH_DIM, default
-        the largest 128-multiple whose bf16 cache fits the budget) so
-        hops still ride contiguous slab gathers; pool admission is then
-        approximate (JL-distorted) and the exact-f32 re-rank of the final
-        pool restores the emitted ordering.  sketch_dim == 0 means the
-        cache holds full-width values."""
+        16 GB), ``auto`` keeps the exact row-gather path (measured
+        strictly better than the sketch there — see the inline note).
+        ``sketch`` (explicit only) is a JL cache: neighbor values
+        randomly projected D→D' (PGVECTOR_TPU_SKETCH_DIM, default the
+        largest 128-multiple whose bf16 cache fits the budget) so hops
+        ride contiguous slab gathers; sketch scores prune each hop
+        (PGVECTOR_TPU_SKETCH_PRUNE) and exact gathers re-score survivors.
+        sketch_dim == 0 means the cache holds full-width values."""
         import os
 
         mode = os.environ.get("PGVECTOR_TPU_PACKED_SCAN", "auto")
@@ -1070,9 +1071,14 @@ class HNSWIndex:
             # int8 needs the dot-form scorer (L1 would re-materialize an
             # f32 slab — the thing this tier exists to avoid)
             return jnp.int8, 0
-        sk = self._sketch_dim()
-        if sk and self.metric in (Metric.L2, Metric.IP, Metric.COSINE):
-            return jnp.bfloat16, sk
+        # beyond int8 the remaining slab option is the JL sketch, and it
+        # measured strictly worse than plain row gathers at 1M×960-d on
+        # v5e (hybrid sketch128+prune64: 0.7834 @ 2,154 qps vs row-gather
+        # 0.9036 @ 2,122 — the scan there is hop-fixed-cost-bound, not
+        # gather-bound, so pruning gathers buys no qps and loses recall).
+        # Keep auto on the exact row-gather path; sketch stays an explicit
+        # opt-in (PGVECTOR_TPU_PACKED_SCAN=sketch) for workloads whose
+        # sketch top-``prune`` quality is better than this surrogate's.
         return None, 0
 
     def _sketch_dim(self) -> int:
