@@ -176,8 +176,16 @@ class HNSWIndex:
         self._rng = np.random.default_rng(seed)
         # preallocating capacity avoids growth recompiles (every capacity
         # doubling gives the wave/query kernels new array shapes — ~10
-        # extra compiles on a 1M build) and the attendant array copies
-        self._init_graph(capacity=_round_pow2(max(capacity or 0, 1024)))
+        # extra compiles on a 1M build) and the attendant array copies.
+        # Explicit capacities are honored to a 256-row multiple instead of
+        # pow2-padded — the same policy as store/table._initial_cap, so the
+        # element arrays match the table exactly (letting index values
+        # alias the heap) and a 10M request allocates 10.0M element slots,
+        # not 16.8M (+2.6 GB of graph arrays on a 16 GB chip).
+        if capacity:
+            self._init_graph(capacity=max(-(-capacity // 256) * 256, 1024))
+        else:
+            self._init_graph(capacity=_round_pow2(1024))
         if build:
             self.build()
 
@@ -227,6 +235,24 @@ class HNSWIndex:
                 t.dtype if jnp.zeros((), t.dtype).dtype.itemsize == 2
                 else jnp.float32
             )
+        # The reference copies each vector into its index tuple
+        # (HnswFormIndexValue, hnswutils.c:406-428).  Here the copy ALIASES
+        # the heap arrays while the element↔row mapping is the identity and
+        # values are stored unmodified — dense non-cosine (cosine stores
+        # normalized copies), bit, and sparse all qualify.  The alias is
+        # broken (one private gather) the first time an index-only rewrite
+        # happens: vacuum zeroing, slot reuse after deletes, growth past the
+        # table, dedup merges.  Saves a full table-sized copy of HBM on the
+        # common build-once path (2.6 GB at 10M×128-d bf16).
+        self._alias_values = (
+            not (self.kind == "dense" and self.metric is Metric.COSINE)
+            and (self.kind != "dense"
+                 or jnp.zeros((), self._val_dtype).dtype == jnp.zeros((), t.dtype).dtype)
+            and self._table_rows() >= capacity
+        )
+        if self._alias_values:
+            self._refresh_alias()
+        elif self.kind == "dense":
             self.values = (jnp.zeros((capacity, t.dim), self._val_dtype),)
         elif self.kind == "bit":
             self.values = (jnp.zeros((capacity, t.words), jnp.uint32),)
@@ -236,12 +262,17 @@ class HNSWIndex:
                 jnp.zeros((capacity, t.nnz_cap), jnp.float32),
             )
         self.nbr0 = jnp.full((capacity, 2 * self.m), -1, jnp.int32)
-        self.nbr_up = jnp.full((self.cap_u, L_MAX, self.m), -1, jnp.int32)
+        # upper-level lists sized to the derived unroll depth, not the
+        # L_MAX cap — 12 statically allocated levels would waste ~0.5 GB
+        # at 10M when only ~6 are reachable
+        self.nbr_up = jnp.full((self.cap_u, self._l_unroll, self.m), -1,
+                               jnp.int32)
         # sticky heuristic-kept flags per neighbor slot (the reference's
         # cached ``closer`` bits, hnswutils.c:1094-1131) — protected from
         # backlink turnover; load-bearing for IP graph connectivity
         self.kept0 = jnp.zeros((capacity, 2 * self.m), jnp.bool_)
-        self.kept_up = jnp.zeros((self.cap_u, L_MAX, self.m), jnp.bool_)
+        self.kept_up = jnp.zeros((self.cap_u, self._l_unroll, self.m),
+                                 jnp.bool_)
         self.up_slot = np.full(capacity, -1, np.int32)
         self.levels = np.full(capacity, -1, np.int32)
         self.elem_rows = np.full((capacity, HEAPTIDS), -1, np.int32)
@@ -266,7 +297,55 @@ class HNSWIndex:
         self._nbr_scale: Optional[jnp.ndarray] = None
         self._nbr_norm2: Optional[jnp.ndarray] = None
 
+    def _table_rows(self) -> int:
+        t = self.table
+        return int((t.data if self.kind != "sparse" else t.idx).shape[0])
+
+    def _refresh_alias(self) -> None:
+        """Re-point aliased index values at the table's CURRENT buffers.
+        table.insert donates its old arrays to the append kernel, so a
+        stale alias would read a deleted buffer."""
+        if not getattr(self, "_alias_values", False):
+            return
+        t = self.table
+        self.values = ((t.data,) if self.kind != "sparse" else (t.idx, t.val))
+
+    def _materialize_values(self) -> None:
+        """Break the table alias: gather every element its own value copy
+        (by primary TID) so index-private rewrites — vacuum zeroing, slot
+        reuse after deletes, growth padding — can't read through to rows
+        the heap has since changed."""
+        if not self._alias_values:
+            return
+        self._refresh_alias()
+        rows = jnp.asarray(np.maximum(self.elem_rows[:, 0], 0), jnp.int32)
+        live = jnp.asarray(self.elem_rows[:, 0] >= 0)
+        fills = (int(D.SPARSE_PAD), 0) if self.kind == "sparse" else (0,)
+        self.values = tuple(
+            jnp.where(live[:, None], a[rows], jnp.asarray(f, a.dtype))
+            for a, f in zip(self.values, fills)
+        )
+        self._alias_values = False
+
+    def _ensure_unroll_depth(self, depth: int) -> None:
+        """Widen the upper-level arrays to ``depth`` levels (allocation
+        tracks the derived unroll, which can deepen on growth or when a
+        checkpoint stores taller levels)."""
+        depth = min(max(depth, self._l_unroll), L_MAX)
+        self._l_unroll = depth
+        width = self.nbr_up.shape[1]
+        if width >= depth:
+            return
+        pad = depth - width
+        self.nbr_up = jnp.concatenate(
+            [self.nbr_up,
+             jnp.full((self.cap_u, pad, self.m), -1, jnp.int32)], axis=1)
+        self.kept_up = jnp.concatenate(
+            [self.kept_up,
+             jnp.zeros((self.cap_u, pad, self.m), jnp.bool_)], axis=1)
+
     def _sync_device_meta(self) -> None:
+        self._refresh_alias()
         if self._dirty:
             self._up_slot_dev = jnp.asarray(self.up_slot)
             self._levels_dev = jnp.asarray(self.levels)
@@ -395,10 +474,21 @@ class HNSWIndex:
 
     # ----------------------------------------------------- core insert driver
     def _insert_rows(self, rows: np.ndarray) -> None:
-        values, keep = self._form_values(rows)
-        rows = rows[keep]
-        if not keep.all():
-            values = jax.tree.map(lambda a: a[jnp.asarray(np.flatnonzero(keep))], values)
+        self._refresh_alias()
+        # alias fast path: without dedup (no host value keys needed) and
+        # with values aliasing the heap, forming the value block would
+        # gather a full row copy (2.6 GB at 10M×128-d) only for
+        # _write_values to discard it — defer forming until a non-identity
+        # mapping actually needs it
+        lazy = self._alias_values and not self.dedup
+        if lazy:
+            values, keep = None, np.ones(len(rows), bool)
+        else:
+            values, keep = self._form_values(rows)
+            rows = rows[keep]
+            if not keep.all():
+                values = jax.tree.map(
+                    lambda a: a[jnp.asarray(np.flatnonzero(keep))], values)
         if len(rows) == 0:
             return
 
@@ -466,7 +556,18 @@ class HNSWIndex:
             self.up_slot[elems[need_up]] = self._alloc_upper_bulk(int(need_up.sum()))
         self._dirty = True
         self._nbr_vals = None  # graph is about to change
-        self._write_values(elems, values)
+        if values is None:
+            e_np = np.asarray(elems, np.int64)
+            if np.array_equal(self.elem_rows[e_np, 0], e_np):
+                self._refresh_alias()  # heap rows ARE these values
+            else:
+                # non-identity mapping (slot reuse after deletes): one
+                # private gather by TID covers every element, this batch
+                # included — elem_rows for it was just written above
+                self._materialize_values()
+        else:
+            self._write_values(elems, values)
+            del values
 
         # wave schedule: full-size waves from the start — intra-wave
         # candidates interconnect each wave internally, so the geometric
@@ -615,12 +716,15 @@ class HNSWIndex:
     def _alloc_upper_bulk(self, n: int) -> np.ndarray:
         while self.n_upper + n > self.cap_u:
             new_cap = self.cap_u * 2
+            width = self.nbr_up.shape[1]
             self.nbr_up = jnp.concatenate(
-                [self.nbr_up, jnp.full((new_cap - self.cap_u, L_MAX, self.m), -1, jnp.int32)]
+                [self.nbr_up,
+                 jnp.full((new_cap - self.cap_u, width, self.m), -1,
+                          jnp.int32)]
             )
             self.kept_up = jnp.concatenate(
                 [self.kept_up,
-                 jnp.zeros((new_cap - self.cap_u, L_MAX, self.m), jnp.bool_)]
+                 jnp.zeros((new_cap - self.cap_u, width, self.m), jnp.bool_)]
             )
             self.cap_u = new_cap
         out = np.arange(self.n_upper, self.n_upper + n, dtype=np.int32)
@@ -638,7 +742,7 @@ class HNSWIndex:
             )
         # deeper graphs earn a deeper unroll (never shrinks: existing
         # levels were clamped to the old depth and stay valid)
-        self._l_unroll = max(self._l_unroll, self._derive_l_unroll(new_cap))
+        self._ensure_unroll_depth(self._derive_l_unroll(new_cap))
         self._nbr_vals = None
         pad = new_cap - self.cap_e
 
@@ -647,6 +751,10 @@ class HNSWIndex:
                 [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]
             )
 
+        # growth pads the value arrays past the table — the padded copy is
+        # private from here on
+        self._refresh_alias()
+        self._alias_values = False
         if self.kind == "sparse":
             self.values = (
                 grow_val(self.values[0], int(D.SPARSE_PAD)),
@@ -665,6 +773,14 @@ class HNSWIndex:
         self._dirty = True
 
     def _write_values(self, elems: List[int], values: tuple) -> None:
+        if self._alias_values:
+            e_np = np.asarray(elems, np.int64)
+            if np.array_equal(self.elem_rows[e_np, 0], e_np):
+                # identity alias: the heap rows ARE these elements' values
+                # (non-cosine, unmodified storage) — nothing to write
+                self._refresh_alias()
+                return
+            self._materialize_values()
         e = jnp.asarray(np.asarray(elems, np.int32))
         self.values = tuple(
             arr.at[e].set(block) for arr, block in zip(self.values, values)
@@ -1003,7 +1119,10 @@ class HNSWIndex:
         fmask = jnp.asarray(filter_mask, dtype=bool) if filter_mask is not None else None
         if mode == "off":
             d, r = self._search_once(qs, nq, k, ef, fmask)
-            d, r = np.asarray(d), np.asarray(r)
+            # one blocking fetch for both outputs: two sequential
+            # np.asarray calls pay the device round-trip latency twice,
+            # which dominated batch-1 p50 through the remote tunnel
+            d, r = jax.device_get((d, r))
             self.stats.count(nq, r)
             return d, r
         d, r = self._search_iterative(qs, nq, k, ef, fmask, mode)
@@ -1156,8 +1275,8 @@ class HNSWIndex:
 
     def _search_once(self, qs, nq: int, k: int, ef: int, fmask):
         self._sync_device_meta()
-        if fmask is None:
-            fmask = jnp.ones(self.table.capacity, jnp.bool_)
+        # fmask stays None for unfiltered scans — the kernel skips the mask
+        # gather and the host never dispatches an eager ones(capacity) fill
         pdt, sketch = self._packed_plan()
         packed_vals = (self._ensure_nbr_vals(pdt, sketch)
                        if pdt is not None else None)
@@ -1196,11 +1315,12 @@ class HNSWIndex:
                 "PGVECTOR_TPU_QUERY_MAX_STEPS", 0)),
             pallas_tail=(pdt is not None and K.use_pallas_tail()
                          and K.visited_mode() == "off"),
+            user_dist=True,  # stored→operator transform folded into the jit
         )
         #: layer-0 hop count of the last scan — telemetry for FLOP/MFU
         #: accounting (bench.py); a device scalar until read
         self._last_scan_steps = steps
-        return self._user_dist(d), r
+        return d, r
 
     def _search_iterative(self, qs, nq: int, k: int, ef: int, fmask, mode: str):
         """Iterative scan driver: first search keeps a discarded pool; each
@@ -1214,7 +1334,7 @@ class HNSWIndex:
         max_tuples = int(config.get("hnsw.max_scan_tuples"))
         mem_budget = (config.get("work_mem")
                       * config.get("hnsw.scan_mem_multiplier"))
-        fm = fmask if fmask is not None else jnp.ones(self.table.capacity, jnp.bool_)
+        fm = fmask  # None = unfiltered; _expand_topk skips the mask gather
         dk = max(4 * ef, 64)
         pool_d, pool_i, visited, disc_d, disc_i, sc_dev = K.query_search_first(
             self.kind, self.metric, self.values, self.nbr0, self.nbr_up,
@@ -1385,7 +1505,12 @@ class HNSWIndex:
             self.elem_rows[e, :] = -1
             self.free_slots.append(int(e))
         # zero their value data so dedup keys can't match (MarkDeleted zeroes
-        # vector data, hnswvacuum.c:694-699)
+        # vector data, hnswvacuum.c:694-699).  The at[].set below produces a
+        # private copy — identity held until now, so it doubles as the
+        # alias materialization; the flag must drop so _refresh_alias can't
+        # clobber the zeroed copy
+        self._refresh_alias()
+        self._alias_values = False
         dele = jnp.asarray(np.asarray(deleting, np.int32))
         if self.kind == "sparse":
             self.values = (

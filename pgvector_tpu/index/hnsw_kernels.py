@@ -1546,14 +1546,18 @@ def wave_search_sharded(mesh, kind, metric, values, nbr0, nbr_up, up_slot,
 def _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k: int,
                  heaptids: int):
     """Heap-TID expansion + validity/filter mask + top-k
-    (hnswscan.c:286-303)."""
+    (hnswscan.c:286-303).  ``fmask=None`` means no qual filter — the
+    common unfiltered scan skips both the mask gather and the eager
+    host-side ``jnp.ones(capacity)`` dispatch it used to require."""
     nq = pool_d.shape[0]
     safe = jnp.maximum(pool_i, 0)
     rows = elem_rows[safe].reshape(nq, -1)
     rd = jnp.repeat(pool_d, heaptids, axis=1)
     rows = jnp.where(jnp.repeat(pool_i, heaptids, axis=1) >= 0, rows, -1)
     safe_rows = jnp.maximum(rows, 0)
-    ok = (rows >= 0) & row_valid[safe_rows] & fmask[safe_rows]
+    ok = (rows >= 0) & row_valid[safe_rows]
+    if fmask is not None:
+        ok = ok & fmask[safe_rows]
     rd = jnp.where(ok, rd, jnp.inf)
     kk = min(k, rd.shape[1])
     neg, selpos = jax.lax.top_k(-rd, kk)
@@ -1570,7 +1574,7 @@ def _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k: int,
     jax.jit,
     static_argnames=("kind", "metric", "ef", "m", "l_unroll", "k", "heaptids",
                      "expand", "vmode", "rerank", "max_steps", "pallas_tail",
-                     "prune"),
+                     "prune", "user_dist"),
 )
 def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                  row_valid, fmask, qs, entry, entry_level, ef: int, m: int,
@@ -1578,7 +1582,7 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                  vmode: str = "hash2", packed_vals=None, rerank: bool = False,
                  max_steps: int = 0, pallas_tail: bool = False,
                  qs_packed=None, packed_scale=None, packed_norm2=None,
-                 prune: int = 0):
+                 prune: int = 0, user_dist: bool = False):
     """Algorithm 5 (hnswscan.c:25-56), TPU mono-jit.
 
     ``packed_vals`` — optional adjacency-packed neighbor values
@@ -1617,6 +1621,12 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
         pool_d = score(qs, pool_i)  # exact f32 distances for the final pool
         pool_d, pool_i = jax.lax.sort((pool_d, pool_i), num_keys=1)
     d, r = _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k, heaptids)
+    if user_dist:
+        # fold the stored→operator transform into the mono-jit so a
+        # latency-bound batch-1 scan needs no eager follow-up dispatches
+        from ..ops.metric import stored_to_user
+
+        d = stored_to_user(metric, d)
     return d, r, steps
 
 
@@ -1697,7 +1707,7 @@ def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                       packed_vals=None, rerank: bool = False,
                       max_steps: int = 0, pallas_tail: bool = False,
                       qs_packed=None, packed_scale=None, packed_norm2=None,
-                      prune: int = 0):
+                      prune: int = 0, user_dist: bool = False):
     """CPU variant of Algorithm 5 with host-driven loops.  The packed-
     adjacency path is a device-gather optimization; the host driver always
     scores via row gathers (packed_vals/rerank/pallas_tail accepted for
@@ -1719,4 +1729,8 @@ def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
     )
     d, r = _expand_topk_jit(pool_d, pool_i, elem_rows, row_valid, fmask, k,
                             heaptids)
+    if user_dist:
+        from ..ops.metric import stored_to_user
+
+        d = stored_to_user(metric, d)
     return d, r, steps

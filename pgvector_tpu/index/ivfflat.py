@@ -553,7 +553,9 @@ class IVFFlatIndex:
             if found >= k:
                 break
         best_i = jnp.where(jnp.isinf(best_d), -1, best_i)
-        d, r = np.asarray(self._user_dist(best_d)), np.asarray(best_i)
+        # one blocking fetch for both outputs (two sequential np.asarray
+        # calls pay the tunnel round-trip twice at small batches)
+        d, r = jax.device_get((self._user_dist(best_d), best_i))
         # nsearches counts probe batches (one "Index Search" per re-probe)
         self.stats.count(nq, r, rounds=(off + probes - 1) // probes)
         return d, r

@@ -318,8 +318,12 @@ def load_hnsw(table, path: str):
         idx.levels[:n] = _load(path, "levels", ep)
         # the saving index may have been built with a deeper unroll (its
         # capacity/m or env differed) — honor the stored levels
-        idx._l_unroll = max(idx._l_unroll, int(idx.levels[:n].max(initial=0)))
+        idx._ensure_unroll_depth(int(idx.levels[:n].max(initial=0)))
         idx.elem_rows[:n] = _load(path, "elem_rows", ep)
+        # restored values are index-private (the heap they aliased at save
+        # time is not this process's table buffer)
+        idx._refresh_alias()
+        idx._alias_values = False
         vals = []
         for j, v in enumerate(idx.values):
             vals.append(v.at[:n].set(
@@ -330,11 +334,29 @@ def load_hnsw(table, path: str):
                 if r >= 0:
                     idx.row_to_elem[int(r)] = e
     if nu:
-        idx.nbr_up = idx.nbr_up.at[:nu].set(
-            jnp.asarray(_load(path, "nbr_up", ep)))
+        # reconcile unroll widths: the saver allocated its own derived
+        # depth (or the fixed 12 of pre-round-4 checkpoints, whose unused
+        # tail levels are all -1)
+        width = idx.nbr_up.shape[1]
+
+        def fit(a, fill):
+            # levels were loaded above, so width ≥ every stored level:
+            # a wider save (e.g. the fixed 12 of pre-round-4 checkpoints)
+            # carries only empty tail levels — slice them; a narrower one
+            # pads with empties
+            a = jnp.asarray(a)
+            if a.shape[1] > width:
+                return a[:, :width]
+            if a.shape[1] < width:
+                pad = jnp.full((nu, width - a.shape[1], idx.m), fill,
+                               a.dtype)
+                return jnp.concatenate([a, pad], axis=1)
+            return a
+
+        idx.nbr_up = idx.nbr_up.at[:nu].set(fit(_load(path, "nbr_up", ep), -1))
         try:
             idx.kept_up = idx.kept_up.at[:nu].set(
-                jnp.asarray(_load(path, "kept_up", ep)))
+                fit(_load(path, "kept_up", ep), False))
         except (FileNotFoundError, KeyError):
             pass
     if idx.dedup and n:
