@@ -59,6 +59,55 @@ for expand in (8, 16, 32, 40):
         print(json.dumps(row), flush=True)
         save()
 
+# device-only latency: run REPS searches back-to-back INSIDE one jitted
+# program (lax.fori_loop over the mono-jit body) and divide — excludes the
+# per-dispatch tunnel round-trip, isolating the algorithmic serial-hop cost
+# a production (non-tunneled) serving path would see.
+import jax
+import jax.numpy as jnp
+from pgvector_tpu.index import hnsw_kernels as K
+
+idx._sync_device_meta()
+pdt, sk = idx._packed_plan()
+packed = idx._ensure_nbr_vals(pdt, sk) if pdt is not None else None
+
+
+def _loop_search(qs_dev, reps: int, expand: int):
+    def body(i, acc):
+        # vary the query each iteration so no step is dead code
+        q = jax.lax.dynamic_slice(qs_dev, (i % qs_dev.shape[0], 0),
+                                  (1, qs_dev.shape[1]))
+        d, r, _ = K.query_search(
+            idx.kind, idx.metric, idx.values, idx.nbr0, idx.nbr_up,
+            idx._up_slot_dev, idx._elem_rows_dev, idx.table.valid, None,
+            q, jnp.int32(idx.entry), jnp.int32(idx.entry_level),
+            ef=EF, m=idx.m, l_unroll=idx._l_unroll, k=10, heaptids=10,
+            expand=expand, packed_vals=packed,
+            rerank=(pdt is not None and pdt != jnp.float32),
+            user_dist=True,
+        )
+        return acc + d[0, 0] + jnp.float32(r[0, 0])
+
+    return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+
+loop_jit = jax.jit(_loop_search, static_argnums=(1, 2))
+qs_dev = jnp.asarray(qs[:256])
+for expand in (8, 40):
+    loop_jit(qs_dev, 1, expand).block_until_ready()  # compile
+    t0 = time.time()
+    loop_jit(qs_dev, 50, expand).block_until_ready()
+    dev_ms = (time.time() - t0) / 50 * 1e3
+    # subtract one dispatch's fixed cost using the 1-rep call
+    t0 = time.time()
+    loop_jit(qs_dev, 1, expand).block_until_ready()
+    one_ms = (time.time() - t0) * 1e3
+    row = {"expand": expand, "device_only_ms_per_query": round(dev_ms, 2),
+           "single_dispatch_ms": round(one_ms, 2)}
+    out.setdefault("device_only", []).append(row)
+    print(json.dumps(row), flush=True)
+    save()
+
 # recall check at the chosen latency config (expand must not cost recall):
 # exact GT over the first 1000 queries
 from pgvector_tpu.index.flat import FlatIndex

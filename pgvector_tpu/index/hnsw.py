@@ -181,11 +181,15 @@ class HNSWIndex:
         # pow2-padded — the same policy as store/table._initial_cap, so the
         # element arrays match the table exactly (letting index values
         # alias the heap) and a 10M request allocates 10.0M element slots,
-        # not 16.8M (+2.6 GB of graph arrays on a 16 GB chip).
+        # not 16.8M (+2.6 GB of graph arrays on a 16 GB chip).  Without an
+        # explicit capacity the index sizes itself to the table's allocated
+        # capacity: an index covers its whole heap, and growing from 1024
+        # by doubling would copy every graph array ~10× on a 1M build and
+        # transiently hold 2× the final footprint (the 10M OOM).
         if capacity:
             self._init_graph(capacity=max(-(-capacity // 256) * 256, 1024))
         else:
-            self._init_graph(capacity=_round_pow2(1024))
+            self._init_graph(capacity=max(self._table_rows(), 1024))
         if build:
             self.build()
 
