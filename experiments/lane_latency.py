@@ -12,7 +12,7 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 import numpy as np
 
-OUT = "/tmp/lane_latency.json"
+OUT = os.environ.get("LAT_OUT", "/tmp/lane_latency.json")
 N = int(os.environ.get("LAT_N", 1_000_000))
 EF = int(os.environ.get("LAT_EF", 40))
 REPS = int(os.environ.get("LAT_REPS", 30))

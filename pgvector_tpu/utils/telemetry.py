@@ -103,7 +103,9 @@ def table_hbm_bytes(table) -> int:
 
 
 def hnsw_hbm_bytes(idx) -> int:
-    return hbm_bytes(idx.values, idx.nbr0, idx.nbr_up)
+    # aliased value arrays are the table's own buffers, not index HBM
+    vals = () if getattr(idx, "_alias_values", False) else idx.values
+    return hbm_bytes(vals, idx.nbr0, idx.nbr_up)
 
 
 def ivfflat_hbm_bytes(idx) -> int:
