@@ -571,7 +571,13 @@ class DeviceShardedHNSWIndex:
         element rows globalize through g_rows (local row → global row)."""
         mesh, axis, shards = self.mesh, self.axis, self.shards
         self.kind = shards[0].kind
-        self._l_unroll = max(s._l_unroll for s in shards)
+        # shard capacities derive their own unroll depths (allocation
+        # tracks the depth since round 4) — equalize widths so the
+        # per-shard nbr_up arrays stack
+        depth = max(s.nbr_up.shape[1] for s in shards)
+        for s in shards:
+            s._ensure_unroll_depth(depth)
+        self._l_unroll = max(max(s._l_unroll for s in shards), depth)
         for s in shards:
             s._sync_device_meta()
         self.values = tuple(
