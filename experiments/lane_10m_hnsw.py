@@ -36,20 +36,48 @@ def save():
         json.dump(out, f)
 
 
-flat = FlatIndex(table, Metric.L2)
-t0 = time.time()
-_, gt = flat.search(qs, k)
-gt = np.asarray(gt)
-out["exact_gt_s"] = round(time.time() - t0, 1)
-out["exact_path"] = flat.last_path
+# resumable milestones: the axon worker can wedge mid-lane (watchdog_run
+# kills + retries); GT and the built graph persist so a retry never
+# repeats a finished 1.5 h phase
+GT_NPY = "/tmp/lane10m_gt.npy"
+CKPT = "/tmp/lane10m_ckpt"
+if os.path.exists(GT_NPY):
+    gt = np.load(GT_NPY)
+    prior = json.load(open(OUT)) if os.path.exists(OUT) else {}
+    out["exact_gt_s"] = prior.get("exact_gt_s", -1.0)
+    out["exact_path"] = prior.get("exact_path", "grouped(cached)")
+    print("gt cached", flush=True)
+else:
+    flat = FlatIndex(table, Metric.L2)
+    t0 = time.time()
+    _, gt = flat.search(qs, k)
+    gt = np.asarray(gt)
+    out["exact_gt_s"] = round(time.time() - t0, 1)
+    out["exact_path"] = flat.last_path
+    np.save(GT_NPY, gt)
 save()
 print("gt", out["exact_gt_s"], out["exact_path"], flush=True)
-t0 = time.time()
-idx = HNSWIndex(table, Metric.L2, m=16, ef_construction=64,
-                wave_size=1024, dedup=False, beam_expand=4)
-out["build_s"] = round(time.time() - t0, 1)
+if os.path.isdir(CKPT):
+    from pgvector_tpu.io import load_hnsw
+
+    t0 = time.time()
+    idx = load_hnsw(table, CKPT)
+    prior = json.load(open(OUT)) if os.path.exists(OUT) else {}
+    out["build_s"] = prior.get("build_s", -1.0)
+    print("build loaded from checkpoint in", round(time.time() - t0, 1),
+          flush=True)
+else:
+    t0 = time.time()
+    idx = HNSWIndex(table, Metric.L2, m=16, ef_construction=64,
+                    wave_size=1024, dedup=False, beam_expand=4)
+    out["build_s"] = round(time.time() - t0, 1)
+    save()
+    print("build", out["build_s"], flush=True)
+    from pgvector_tpu.io import save_hnsw
+
+    save_hnsw(idx, CKPT)
+    print("checkpointed", flush=True)
 save()
-print("build", out["build_s"], flush=True)
 idx.beam_expand = 8
 pdt, sk = idx._packed_plan()
 out["packed_scan"] = f"sketch{sk}" if sk else str(pdt)
