@@ -242,6 +242,7 @@ def main():
     connect_s = rep.get("hnsw.wave.connect", {}).get("total_s", 0.0)
     build_phases = {k: round(v["total_s"], 1) for k, v in rep.items()
                     if k.startswith("hnsw.")}
+    search_frac = min(search_s / max(steady_build_s, 1e-9), 1.0)
     par_frac = min((search_s + connect_s) / max(steady_build_s, 1e-9), 1.0)
     build_proj_8chip_s = round(
         build_steady_s * (1.0 - par_frac + par_frac / 8.0), 1)
@@ -610,6 +611,7 @@ def main():
         "build_steady_s": round(build_steady_s, 1),
         "build_phases_steady": build_phases,
         "build_search_frac": round(search_frac, 3),
+        "build_parallel_frac": round(par_frac, 3),
         "build_proj_8chip_s": build_proj_8chip_s,
         "exact_gt_s": round(gt_s, 1),
         "exact_gt_steady_s": round(gt_steady_s, 1),
