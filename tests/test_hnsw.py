@@ -251,13 +251,18 @@ def test_int8_point_scores_match_f64_oracle(rng):
             met, jnp.asarray(qs), scale, norm2, v, jnp.asarray(nbrs)))
         assert np.all(np.isinf(got[:, -1]))
         ok = nbrs >= 0
-        # query-side re-quantization adds <= |q⊙s|_max/254 per dim; the
-        # 1.5x covers f32 accumulation rounding over the dim reduction
-        qmax = np.abs(qs * np.asarray(scale)).max(axis=1, keepdims=True)
-        vmax = np.abs(deq).max()
-        tol = 1.5 * dim * qmax / 254.0 * (2 * vmax + 2.0) + 1e-2
-        assert np.all(np.abs(got[ok] - oracle[ok])
-                      <= np.broadcast_to(tol, got.shape)[ok])
+        # Deterministic error budget, per (query, row): the kernel rounds
+        # the scale-folded query to int8 with step sq = max|q⊙s|/127, so the
+        # cross term q·deq picks up at most 0.5*sq per dim weighted by the
+        # row's INTEGER code magnitude |v8_d| (the dot is against codes, not
+        # dequantized values).  L2 doubles the cross term; IP uses it once.
+        # A small relative slack covers f32 accumulation vs the f64 oracle.
+        sq = np.abs(qs * np.asarray(scale)).max(axis=1) / 127.0      # (Q,)
+        row_l1 = np.abs(v8.astype(np.float64)).sum(axis=1)           # (64,)
+        cross_err = 0.5 * sq[:, None] * row_l1[np.maximum(nbrs, 0)]  # (Q, W)
+        factor = 2.0 if met is Metric.L2 else 1.0
+        tol = factor * cross_err + 1e-4 * np.abs(oracle) + 1e-2
+        assert np.all(np.abs(got[ok] - oracle[ok]) <= tol[ok])
 
 
 def test_packed_scan_matches_row_gather(data, monkeypatch):
