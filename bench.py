@@ -51,6 +51,32 @@ def log(msg):
 
 import numpy as np
 
+#: partial-result state shared with the __main__ crash wrapper and the
+#: dead-man timer: stages fill it in as they complete, so a crash or hang
+#: mid-run still emits every number measured up to that point.
+_PARTIAL = {}
+
+
+def _attach_measured(out):
+    """Ride the latest full-scale experiment summary along (provenance-
+    labeled) so time-budgeted or truncated runs still carry the on-chip
+    1M/10M lane numbers from experiments/."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for summ in ("summary_r04.json", "summary_r03.json"):
+        try:
+            with open(os.path.join(here, "experiments", "results",
+                                   summ)) as f:
+                out["measured_lanes"] = json.load(f)
+            break
+        except Exception:
+            pass
+
+
+def _emit_partial(reason):
+    _PARTIAL.setdefault("error", reason)
+    _attach_measured(_PARTIAL)
+    print(json.dumps(_PARTIAL), flush=True)
+
 #: assumed pgvector single-core QPS at recall@10 ≈ 0.95 on SIFT-1M — see
 #: module docstring for provenance; the reference publishes no numbers.
 PG_BASELINE_QPS = 1000.0
@@ -176,11 +202,63 @@ def main():
     k = 10
     m = 16
 
+    # ---- run protection: the driver captures ONE stdout JSON line; that
+    # line must materialize even if a lane crashes, the wall budget runs
+    # out, or a device op / remote compile hangs (a faulted axon worker
+    # hangs the client with no exception — BENCH_NOTES.md "wedge mode").
+    t_run0 = time.time()
+    budget_s = int(os.environ.get("BENCH_BUDGET_S", 7200))
+    _PARTIAL.clear()
+    _PARTIAL.update({
+        "metric": "hnsw_qps_at_recall095_sift1m_surrogate",
+        "value": 0, "unit": "qps", "vs_baseline": 0,
+        "stage": "data", "n": n, "backend": jax.default_backend(),
+    })
+
+    import threading
+
+    def _deadman():
+        _emit_partial(
+            f"dead-man timer: no completion after {budget_s + 900}s — a "
+            "device op or remote compile hung at stage "
+            f"'{_PARTIAL.get('stage')}'; emitting partial results")
+        os._exit(3)
+
+    _deadman_t = threading.Timer(budget_s + 900, _deadman)
+    _deadman_t.daemon = True
+    _deadman_t.start()
+
+    import signal as _signal
+
+    def _on_term(signum, frame):
+        # a driver-side timeout SIGTERMs the run — flush what we measured
+        _emit_partial(f"terminated by signal {signum} at stage "
+                      f"'{_PARTIAL.get('stage')}'")
+        os._exit(4)
+
+    try:
+        _signal.signal(_signal.SIGTERM, _on_term)
+    except Exception:
+        pass
+
+    def lane_budget(name, est_s):
+        """None when the lane fits the remaining wall budget, else a skip
+        record — the lane's JSON field then documents WHY it has no
+        numbers, and a driver with a tighter budget truncates tail lanes
+        instead of losing the whole run."""
+        left = budget_s - (time.time() - t_run0)
+        if left < est_s:
+            log(f"bench: skip {name} — {left:.0f}s budget left < ~{est_s}s")
+            return {"skipped":
+                    f"time budget: {left:.0f}s left < est {est_s}s"}
+        return None
+
     log(f"bench: n={n} nq={nq} dist={dist} backend={jax.default_backend()}")
     db, qs = make_data(n, nq, dist=dist)
     table = DenseTable(128, capacity=n)
     table.insert(db)
     log("bench: data loaded")
+    _PARTIAL["stage"] = "exact_gt"
 
     # ground truth (exact, on device).  First pass includes the remote
     # kernel compile (40s–10min of congestion noise on this image); the
@@ -194,6 +272,8 @@ def main():
     gt_steady_s = time.time() - t0
     log(f"bench: exact ground truth {gt_s:.1f}s cold / "
         f"{gt_steady_s:.1f}s steady ({flat.last_path})")
+    _PARTIAL.update(stage="hnsw_build", exact_gt_s=round(gt_s, 1),
+                    exact_gt_steady_s=round(gt_steady_s, 1))
 
     # build — build() blocks until the graph is materialized, so build_s
     # is honest wall-clock including remote compiles.  Steady state is
@@ -209,6 +289,7 @@ def main():
                     capacity=cap)
     build_s = time.time() - t0
     log(f"bench: hnsw build {build_s:.1f}s total (cold, incl. compiles)")
+    _PARTIAL.update(stage="steady_build", build_s=round(build_s, 1))
     # The steady-state build doubles as the phase profile: timers +
     # per-phase device syncs attribute search vs connect time honestly
     # (async dispatch otherwise charges device time to whichever phase
@@ -287,9 +368,20 @@ def main():
     ok = [r for r in results if r["recall_at_10"] >= 0.95]
     head = max(ok, key=lambda r: r["qps"]) if ok else max(
         results, key=lambda r: r["recall_at_10"])
+    _PARTIAL.update(
+        stage="ivf", value=head["qps"],
+        vs_baseline=round(head["qps"] / PG_BASELINE_QPS, 3),
+        recall_at_10=head["recall_at_10"], ef_search=head["ef"],
+        sweep=results, build_steady_s=round(build_steady_s, 1),
+        build_proj_8chip_s=build_proj_8chip_s)
 
+    # Optional lanes from here on: each is wall-budget-gated and crash-
+    # isolated (try at one extra half-step keeps lane bodies diff-clean) —
+    # a lane-specific OOM or worker fault records an error in that lane's
+    # field instead of erasing every lane after it.
     ivf = None
-    if run_ivf:
+    if run_ivf and not (ivf := lane_budget("ivf", 240)):
+      try:
         # release the HNSW scan cache (the packed bf16 neighbor copy is
         # ~8 GB at 1M — holding it while IVF materializes its posting
         # slabs OOMs a 16 GB chip)
@@ -313,13 +405,19 @@ def main():
                "recall_at_10": round(hits / (nq * k), 4),
                "qps": round(nq / dt, 1), "build_s": round(ivf_build_s, 1)}
         log(f"bench: ivf {ivf}")
+      except Exception as e:
+        log(f"bench: ivf lane failed: {e!r}")
+        ivf = {**(ivf or {}), "error": f"{type(e).__name__}: {e}"[:300]}
+    _PARTIAL.update(stage="gist", ivf=ivf)
 
     # GIST-1M-shaped halfvec lane (960-d, bf16 storage) — BASELINE.md's
     # "halfvec fp16 HNSW on GIST-1M with bf16 kernels" target, default-on
     # at a time-budgeted n (BENCH_GIST_N; the full-1M numbers live in
     # experiments/lane_gist1m.py → measured_lanes)
     gist = None
-    if os.environ.get("BENCH_GIST", "1") == "1":
+    if (os.environ.get("BENCH_GIST", "1") == "1"
+            and not (gist := lane_budget("gist", 900))):
+      try:
         import jax.numpy as jnp
 
         gn = int(os.environ.get("BENCH_GIST_N", 200_000))
@@ -355,12 +453,18 @@ def main():
         gidx._nbr_vals = None
         del gidx, gtab
         log(f"bench: gist {gist}")
+      except Exception as e:
+        log(f"bench: gist lane failed: {e!r}")
+        gist = {**(gist or {}), "error": f"{type(e).__name__}: {e}"[:300]}
+    _PARTIAL.update(stage="bit", gist_halfvec=gist)
 
     # bit/Hamming + binary-quantization re-rank lane — BASELINE.md's
     # "bit/binary-quantized Hamming + re-rank pipeline" (README.md:589-609),
     # default-on at a time-budgeted slice of the main table (BENCH_BIT_N).
     bit_lane = None
-    if os.environ.get("BENCH_BIT", "1") == "1":
+    if (os.environ.get("BENCH_BIT", "1") == "1"
+            and not (bit_lane := lane_budget("bit", 1500))):
+      try:
         from pgvector_tpu.rerank import BinaryQuantizedIndex
         from pgvector_tpu.store.table import BitTable
 
@@ -464,13 +568,20 @@ def main():
         sbq.index._nbr_vals = None
         del sbq, stab_bq, sdb
         log(f"bench: bit {bit_lane}")
+      except Exception as e:
+        log(f"bench: bit lane failed: {e!r}")
+        bit_lane = {**(bit_lane or {}),
+                    "error": f"{type(e).__name__}: {e}"[:300]}
+    _PARTIAL.update(stage="sparse", bit_bq=bit_lane)
 
     # sparsevec HNSW lane — the sparsevec_ip_ops opclass
     # (README.md:433-447); random sparse rows over a large logical dim,
     # IP ordering.  Default-on: the densified pairwise select made the
     # sparse build driver-budget-friendly (waves of 256+ instead of 16).
     sparse_lane = None
-    if os.environ.get("BENCH_SPARSE", "1") == "1":
+    if (os.environ.get("BENCH_SPARSE", "1") == "1"
+            and not (sparse_lane := lane_budget("sparse", 1200))):
+      try:
         from pgvector_tpu.store.table import SparseTable
         from pgvector_tpu.types.sparsevec import SparseVec
 
@@ -529,13 +640,19 @@ def main():
                 {"ef": ef, "recall_at_10": round(sh / (nq * k), 4),
                  "qps": round(nq / dt, 1)})
         log(f"bench: sparse {sparse_lane}")
+      except Exception as e:
+        log(f"bench: sparse lane failed: {e!r}")
+        sparse_lane = {**(sparse_lane or {}),
+                       "error": f"{type(e).__name__}: {e}"[:300]}
+    _PARTIAL.update(stage="metric_lanes", sparse=sparse_lane)
 
     # IP / cosine opclass sweeps (BENCH_METRICS, default both) — each
     # builds its own graph + ground truth at a time-budgeted slice
     # (BENCH_METRICS_N; the 1M versions are in measured_lanes)
     metric_lanes = None
     mlist = [x for x in os.environ.get("BENCH_METRICS", "ip,cosine").split(",") if x]
-    if mlist:
+    if mlist and not (metric_lanes := lane_budget("metrics", 900)):
+      try:
         mn = min(int(os.environ.get("BENCH_METRICS_N", 250_000)), n)
         mtab = DenseTable(db.shape[1], capacity=mn)
         mtab.insert(db[:mn])
@@ -570,13 +687,20 @@ def main():
             midx._nbr_vals = None
             del midx
             log(f"bench: {mname} {lane}")
+      except Exception as e:
+        log(f"bench: metrics lane failed: {e!r}")
+        metric_lanes = {**(metric_lanes or {}),
+                        "error": f"{type(e).__name__}: {e}"[:300]}
+    _PARTIAL.update(stage="latency", metric_lanes=metric_lanes)
 
     # serving-latency table (VERDICT r3 #4): p50/p99 per batch size on the
     # headline index at the headline ef; expand=40 is the latency-tuned
     # beam (wider beam → fewer sequential layer-0 hops; at tiny batches a
     # hop costs nearly the same regardless of width)
     latency = None
-    if os.environ.get("BENCH_LATENCY", "1") == "1":
+    if (os.environ.get("BENCH_LATENCY", "1") == "1"
+            and not (latency := lane_budget("latency", 600))):
+      try:
         latency = []
         reps = int(os.environ.get("BENCH_LATENCY_REPS", 30))
         for lexpand in (qexpand, 40):
@@ -598,7 +722,13 @@ def main():
                     "hops": int(idx._last_scan_steps)})
                 log(f"bench: latency {latency[-1]}")
         idx.beam_expand = qexpand
+      except Exception as e:
+        log(f"bench: latency lane failed: {e!r}")
+        latency = {"rows": latency or [],
+                   "error": f"{type(e).__name__}: {e}"[:300]}
+    _PARTIAL.update(stage="assemble", latency=latency)
 
+    _deadman_t.cancel()
     out = {
         "metric": "hnsw_qps_at_recall095_sift1m_surrogate",
         "value": head["qps"],
@@ -630,19 +760,20 @@ def main():
         "latency": latency,
         "backend": jax.default_backend(),
     }
+    out["wall_s"] = round(time.time() - t_run0, 1)
     # the lanes above run at time-budgeted sizes; the full-scale (1M/10M)
     # versions were measured on the real chip by the experiments/ scripts —
     # surface the latest summary (provenance-labeled) alongside
-    for summ in ("summary_r04.json", "summary_r03.json"):
-        try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "experiments", "results", summ)) as f:
-                out["measured_lanes"] = json.load(f)
-            break
-        except Exception:
-            pass
+    _attach_measured(out)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — the driver captures ONE
+        # stdout JSON line; even a crash must emit the partial results
+        _emit_partial(f"{type(e).__name__}: {e}"[:400])
+        sys.exit(2)

@@ -380,6 +380,10 @@ def _hop_body(score, neighbors_of, qs, pool_d, pool_i, pool_x, visited,
     may hold *sketched* (randomly projected D→D') values, and ``qs_p``
     is then the same projection of the queries (hnsw.py:_sketch_dim)."""
     nq = pool_d.shape[0]
+    # a beam wider than the pool can't select more than the pool holds —
+    # clamp so expand > ef degrades to expand == ef instead of a top_k
+    # shape error (hit by latency-tuned expand=40 at small ef_search)
+    expand = min(expand, pool_d.shape[1])
     cand_mask = (~pool_x) & (pool_i >= 0)
     cand_d = jnp.where(cand_mask, pool_d, jnp.inf)
     worst = pool_d[:, ef - 1]

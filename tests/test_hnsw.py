@@ -265,6 +265,19 @@ def test_int8_point_scores_match_f64_oracle(rng):
         assert np.all(np.abs(got[ok] - oracle[ok]) <= tol[ok])
 
 
+def test_beam_wider_than_ef(data):
+    """beam_expand > ef_search must degrade to expand == ef (the pool is
+    only ef wide), not raise a top_k shape error — hit by the
+    latency-tuned expand=40 beam at small ef (bench.py latency lane)."""
+    db, q = data
+    table, idx = build(db, Metric.L2)
+    idx.beam_expand = 40
+    d, r = idx.search(q[:8], 10, ef_search=24)
+    assert r.shape == (8, 10)
+    assert (r[:, 0] >= 0).all()
+    assert np.all(np.diff(np.where(np.isfinite(d), d, np.inf), axis=1) >= 0)
+
+
 def test_packed_scan_matches_row_gather(data, monkeypatch):
     """The adjacency-packed layer-0 scan is a gather-layout optimization —
     with f32 packing it must return EXACTLY the classic path's results
