@@ -17,7 +17,10 @@ from pgvector_tpu.rerank import BinaryQuantizedIndex
 from pgvector_tpu.ops.metric import Metric
 from pgvector_tpu.store.table import DenseTable
 
-OUT = "/tmp/lane_bq_signful.json"
+# write into the repo so the artifact survives the session (the round-4
+# 200k run's raw JSON was lost with /tmp; its numbers live in BASELINE.md)
+OUT = os.environ.get(
+    "LANE_OUT", "/root/repo/experiments/results/lane_bq_signful_r4.json")
 n = int(os.environ.get("BQ_N", 500_000))
 nq, k, batch, dim = 4000, 10, 4000, 512
 ncl = max(n // 25, 64)
