@@ -8,6 +8,9 @@
 # build when the tunnel relay died mid-run).
 import time, json, os, sys
 sys.path.insert(0, "/root/repo")
+# visible build progress + real CPU accrual for the wedge watchdog (the
+# async wave loop otherwise queues ~10k waves silently for hours)
+os.environ.setdefault("PGVECTOR_TPU_WAVE_SYNC_EVERY", "64")
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 import jax.numpy as jnp

@@ -11,6 +11,7 @@
 import time, json, os, sys
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("PGVECTOR_TPU_SPARSE_PAIR_BYTES", str(512 << 20))
+os.environ.setdefault("PGVECTOR_TPU_WAVE_SYNC_EVERY", "64")
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 import numpy as np

@@ -584,10 +584,32 @@ class HNSWIndex:
         order = np.arange(len(elems))
         waves = [order[p: p + wave_size]
                  for p in range(0, len(order), wave_size)]
-        for wave in waves:
+        # The wave loop dispatches asynchronously (no host syncs) — at 10M
+        # rows that queues ~10k waves with zero observable progress and
+        # near-zero host CPU for the device's whole multi-hour drain, which
+        # defeats both operators and the wedge watchdog
+        # (experiments/watchdog_run.py).  PGVECTOR_TPU_WAVE_SYNC_EVERY=N
+        # blocks on the graph every N waves and logs progress to stderr;
+        # the sync itself is one drain point per N waves (<0.1% overhead at
+        # N>=32) and bounds the in-flight dispatch queue.
+        sync_every = int(os.environ.get("PGVECTOR_TPU_WAVE_SYNC_EVERY", "0")
+                         or 0)
+        import sys as _sys
+        import time as _time
+
+        t_wave0 = _time.time()
+        for wi, wave in enumerate(waves):
             with timers.phase("hnsw.wave"):
                 self._insert_wave(np.asarray(elems)[wave], lv[wave])
             self.progress.advance(len(wave))
+            if sync_every and (wi + 1) % sync_every == 0:
+                jax.block_until_ready(self.nbr0)
+                done = wi + 1
+                rate = done / max(_time.time() - t_wave0, 1e-9)
+                print(f"hnsw build: wave {done}/{len(waves)} "
+                      f"({rate:.2f} waves/s, "
+                      f"eta {(len(waves) - done) / max(rate, 1e-9):.0f}s)",
+                      file=_sys.stderr, flush=True)
 
     def _wave_bytes(self, b: int) -> int:
         """Transient device bytes one insert wave of ``b`` elements needs:
