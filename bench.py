@@ -9,10 +9,15 @@ overlapping clusters (SIFT's local structure at comparable difficulty —
 the recall sweep must move off 1.0 to be meaningful), 1,000 held-out
 queries, exact top-10 ground truth computed on device.
 
-Prints exactly ONE JSON line:
+Prints exactly ONE JSON line, HARD-CAPPED at 1,500 bytes:
   {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...,
-   plus context: recall sweep, steady-state vs total build time, MFU,
-   IVF probe-scan numbers}
+   compact recall sweep + one-number lane summaries + a pointer to
+   experiments/results/bench_full_latest.json with the full detail}
+
+The cap exists because the driver keeps only a ~2k-char TAIL of stdout
+and parses the JSON it finds there: rounds 3 and 4 both emitted a valid
+line that was 10-20 KB long, so its head fell outside the window and
+the driver recorded parsed=null (BENCH_r03/BENCH_r04).
 
 ``vs_baseline`` compares against PG_BASELINE_QPS — an assumed
 single-process pgvector 0.8.6 HNSW figure for this workload shape.
@@ -57,33 +62,131 @@ import numpy as np
 _PARTIAL = {}
 
 
+def _here():
+    return os.path.dirname(os.path.abspath(__file__))
+
+
 def _attach_measured(out):
-    """Ride the latest full-scale experiment summary along (provenance-
-    labeled) so time-budgeted or truncated runs still carry the on-chip
-    1M/10M lane numbers from experiments/."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    for summ in ("summary_r04.json", "summary_r03.json"):
-        try:
-            with open(os.path.join(here, "experiments", "results",
-                                   summ)) as f:
-                out["measured_lanes"] = json.load(f)
+    """Point at the latest full-scale experiment summary (provenance-
+    labeled) so time-budgeted runs still reference the on-chip 1M/10M
+    lane numbers from experiments/.  A POINTER, not the payload: r3/r4
+    embedded the multi-KB summary in the stdout line, which is exactly
+    what made the line unparseable to the driver's tail window."""
+    for summ in ("summary_r05.json", "summary_r04.json", "summary_r03.json"):
+        rel = os.path.join("experiments", "results", summ)
+        if os.path.exists(os.path.join(_here(), rel)):
+            out["measured_lanes_file"] = rel
             break
-        except Exception:
-            pass
+
+
+def _write_detail(out):
+    """Write the full result dict to a committed-location detail file and
+    return its repo-relative path (None if the write fails)."""
+    rel = os.path.join("experiments", "results", "bench_full_latest.json")
+    try:
+        p = os.path.join(_here(), rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            json.dump(out, f, indent=1)
+        return rel
+    except Exception:
+        return None
+
+
+def _sweep_triples(sweep):
+    """[[ef, recall@10, qps], ...] — the compact sweep form."""
+    out = []
+    for r in sweep or []:
+        if isinstance(r, dict) and "ef" in r:
+            out.append([r.get("ef"), r.get("recall_at_10"), r.get("qps")])
+    return out[:6]
+
+
+def _best_point(lane):
+    """Highest-recall [ef, recall, qps] of a lane's sweep (one number per
+    lane keeps the driver line under its byte cap)."""
+    if not isinstance(lane, dict):
+        return None
+    sw = [r for r in (lane.get("sweep") or [])
+          if isinstance(r, dict) and r.get("recall_at_10") is not None]
+    if not sw:
+        return {"error": lane["error"][:80]} if lane.get("error") else None
+    b = max(sw, key=lambda r: r["recall_at_10"])
+    return [b.get("ef"), b.get("recall_at_10"), b.get("qps")]
+
+
+def _compact_line(out):
+    """Build the ≤1,500-byte driver line from a full result dict."""
+    line = {}
+    for k in ("metric", "value", "unit", "vs_baseline", "recall_at_10",
+              "ef_search", "hbm_gbps", "n", "build_s", "build_cached",
+              "build_steady_s", "build_proj_8chip_s", "exact_gt_steady_s",
+              "backend", "wall_s", "stage", "error"):
+        if out.get(k) is not None:
+            line[k] = out[k]
+    detail = _write_detail(out)
+    if detail:
+        line["detail_file"] = detail
+    if out.get("measured_lanes_file"):
+        line["measured_lanes_file"] = out["measured_lanes_file"]
+    line["sweep"] = _sweep_triples(out.get("sweep"))
+    if out.get("q99"):  # best qps point at recall ≥ 0.99 (BASELINE target)
+        line["q99"] = out["q99"]
+    ivf = out.get("ivf")
+    if isinstance(ivf, dict) and ivf.get("qps") is not None:
+        line["ivf"] = [ivf.get("lists"), ivf.get("recall_at_10"),
+                       ivf.get("qps"), ivf.get("build_s")]
+    for key, src in (("gist", "gist_halfvec"), ("sparse", "sparse")):
+        bp = _best_point(out.get(src))
+        if bp is not None:
+            line[key] = bp
+    bit = out.get("bit_bq")
+    if isinstance(bit, dict) and (bit.get("bq_rerank") or bit.get("error")):
+        bq, jac = bit.get("bq_rerank") or {}, bit.get("jaccard") or {}
+        sg = bit.get("bq_signful") or {}
+        line["bit"] = ([bq.get("recall_at_10_vs_float_gt"), bq.get("qps"),
+                        jac.get("recall_at_10"), jac.get("qps"),
+                        sg.get("recall_at_10_vs_float_gt")]
+                       if bq else {"error": bit["error"][:80]})
+    ml = out.get("metric_lanes")
+    if isinstance(ml, dict):
+        for mname in ("ip", "cosine"):
+            bp = _best_point(ml.get(mname))
+            if bp is not None:
+                line[mname] = bp
+    lat = out.get("latency")
+    if isinstance(lat, list) and lat:
+        b1 = [r for r in lat if r.get("batch") == 1]
+        if b1:
+            b1 = min(b1, key=lambda r: r["p50_ms"])
+            line["lat_b1_ms"] = [b1["p50_ms"], b1["p99_ms"]]
+    # enforce the byte cap: drop optional context keys, least-vital first
+    drop = ["measured_lanes_file", "lat_b1_ms", "cosine", "ip", "bit",
+            "gist", "sparse", "ivf", "q99", "sweep", "stage",
+            "exact_gt_steady_s", "build_steady_s", "detail_file"]
+    s = json.dumps(line, separators=(",", ":"))
+    while len(s.encode()) > 1500 and drop:
+        line.pop(drop.pop(0), None)
+        s = json.dumps(line, separators=(",", ":"))
+    if len(s.encode()) > 1500 and "error" in line:  # last resort
+        line["error"] = line["error"][:200]
+        s = json.dumps(line, separators=(",", ":"))
+    return s
 
 
 def _emit_partial(reason):
     _PARTIAL.setdefault("error", reason)
     _attach_measured(_PARTIAL)
-    print(json.dumps(_PARTIAL), flush=True)
+    print(_compact_line(_PARTIAL), flush=True)
 
 #: assumed pgvector single-core QPS at recall@10 ≈ 0.95 on SIFT-1M — see
 #: module docstring for provenance; the reference publishes no numbers.
 PG_BASELINE_QPS = 1000.0
-#: v5e bf16 MXU peak per chip (public spec: 394 TFLOP/s bf16).  Distance
-#: math here runs f32 (~1/2 of bf16 throughput on v5e) — both numbers are
-#: reported so the utilization is interpretable either way.
-V5E_BF16_PEAK = 394e12
+#: v5e HBM bandwidth per chip (public spec: 819 GB/s).  The HNSW scan is
+#: gather-bound, not FLOP-bound, so the honest roofline is achieved HBM
+#: bytes/s (neighbor-slab gathers per hop), not MXU utilization — the MFU
+#: this used to report (~3e-05) said nothing (VERDICT r4 weak #7).
+V5E_HBM_BPS = 819e9
 
 
 def make_data(n, nq, dim=128, seed=0, dist="clustered"):
@@ -163,25 +266,10 @@ def main():
                          "8082/8092/8102/8112) — device ops would hang; "
                          "restart the terminal/relay and re-run",
             }
-            # surface the last committed on-hardware run (clearly labeled
-            # as such) so a dead tunnel doesn't erase the measured state
-            here = os.path.dirname(os.path.abspath(__file__))
-            for prior in ("BENCH_r04_local.json", "BENCH_r03_local.json"):
-                try:
-                    with open(os.path.join(here, prior)) as f:
-                        out["last_measured_on_tpu"] = json.load(f)
-                    break
-                except Exception:
-                    pass
-            for summ in ("summary_r04.json", "summary_r03.json"):
-                try:
-                    with open(os.path.join(here, "experiments", "results",
-                                           summ)) as f:
-                        out["measured_lanes"] = json.load(f)
-                    break
-                except Exception:
-                    pass
-            print(json.dumps(out))
+            # point at the last committed on-hardware numbers so a dead
+            # tunnel doesn't erase the measured state
+            _attach_measured(out)
+            print(_compact_line(out))
             return
 
     from pgvector_tpu.index.flat import FlatIndex
@@ -206,8 +294,12 @@ def main():
     # line must materialize even if a lane crashes, the wall budget runs
     # out, or a device op / remote compile hangs (a faulted axon worker
     # hangs the client with no exception — BENCH_NOTES.md "wedge mode").
+    # Default budget 2400 s: round 4's 7200 s default outran the driver's
+    # wall cap (BENCH_r04 rc=124 — SIGTERM'd mid-campaign); round 3's run
+    # completed, so the survivable wall is somewhere above its ~1,500 s.
+    # The graph cache below makes a warm full-matrix run fit comfortably.
     t_run0 = time.time()
-    budget_s = int(os.environ.get("BENCH_BUDGET_S", 7200))
+    budget_s = int(os.environ.get("BENCH_BUDGET_S", 2700))
     _PARTIAL.clear()
     _PARTIAL.update({
         "metric": "hnsw_qps_at_recall095_sift1m_surrogate",
@@ -219,12 +311,12 @@ def main():
 
     def _deadman():
         _emit_partial(
-            f"dead-man timer: no completion after {budget_s + 900}s — a "
+            f"dead-man timer: no completion after {budget_s + 600}s — a "
             "device op or remote compile hung at stage "
             f"'{_PARTIAL.get('stage')}'; emitting partial results")
         os._exit(3)
 
-    _deadman_t = threading.Timer(budget_s + 900, _deadman)
+    _deadman_t = threading.Timer(budget_s + 600, _deadman)
     _deadman_t.daemon = True
     _deadman_t.start()
 
@@ -283,13 +375,51 @@ def main():
     cap = 1
     while cap < n:
         cap *= 2
-    t0 = time.time()
-    idx = HNSWIndex(table, Metric.L2, m=m, ef_construction=64,
-                    wave_size=1024, dedup=False, beam_expand=expand,
-                    capacity=cap)
-    build_s = time.time() - t0
-    log(f"bench: hnsw build {build_s:.1f}s total (cold, incl. compiles)")
-    _PARTIAL.update(stage="steady_build", build_s=round(build_s, 1))
+    # Graph cache: the same deterministic workload builds the same graph,
+    # so a prior run's checkpoint (this session's campaign, or an earlier
+    # driver run) stands in for the 700 s 1M rebuild — the reference's
+    # "the index IS the checkpoint" stance (SURVEY §5).  The measured cold
+    # build_s rides along from the cache sidecar; BENCH_REBUILD=1 forces a
+    # fresh build.
+    from pgvector_tpu.io import checkpoint as ckpt
+
+    cache_dir = os.path.join(
+        _here(), ".bench_cache",
+        f"hnsw_n{n}_{dist}_m{m}_efc64_exp{expand}_w1024")
+    side = os.path.join(cache_dir, "bench_meta.json")
+    idx = None
+    build_cached = False
+    build_s = None
+    if (os.environ.get("BENCH_REBUILD", "0") != "1"
+            and os.path.exists(side)):
+        try:
+            with open(side) as f:
+                meta = json.load(f)
+            t0 = time.time()
+            idx = ckpt.load_hnsw(table, cache_dir)
+            load_s = time.time() - t0
+            build_s = meta["build_s"]
+            build_cached = True
+            log(f"bench: hnsw graph loaded from cache in {load_s:.1f}s "
+                f"(original build {build_s:.1f}s)")
+        except Exception as e:
+            log(f"bench: graph cache load failed ({e!r}) — rebuilding")
+            idx = None
+    if idx is None:
+        t0 = time.time()
+        idx = HNSWIndex(table, Metric.L2, m=m, ef_construction=64,
+                        wave_size=1024, dedup=False, beam_expand=expand,
+                        capacity=cap)
+        build_s = time.time() - t0
+        log(f"bench: hnsw build {build_s:.1f}s total (cold, incl. compiles)")
+        try:
+            ckpt.save_hnsw(idx, cache_dir)
+            with open(side, "w") as f:
+                json.dump({"build_s": round(build_s, 1), "n": n}, f)
+        except Exception as e:
+            log(f"bench: graph cache save failed ({e!r})")
+    _PARTIAL.update(stage="steady_build", build_s=round(build_s, 1),
+                    build_cached=build_cached)
     # The steady-state build doubles as the phase profile: timers +
     # per-phase device syncs attribute search vs connect time honestly
     # (async dispatch otherwise charges device time to whichever phase
@@ -304,32 +434,85 @@ def main():
     # the path itself, one real chip forbids measuring it here.
     from pgvector_tpu.utils.telemetry import timers as _timers
 
-    steady_n = min(int(os.environ.get("BENCH_STEADY_N", 204_800)), n)
-    s_table = DenseTable(db.shape[1])
-    s_table.insert(db[:steady_n])
-    _timers.reset()
-    _timers.enabled = True
-    os.environ["PGVECTOR_TPU_PHASE_SYNC"] = "1"
-    t0 = time.time()
-    HNSWIndex(s_table, Metric.L2, m=m, ef_construction=64,
-              wave_size=1024, dedup=False, beam_expand=expand, capacity=cap)
-    steady_build_s = time.time() - t0
-    _timers.enabled = False
-    os.environ.pop("PGVECTOR_TPU_PHASE_SYNC", None)
-    steady_rate = steady_n / max(steady_build_s, 1e-9)
+    steady = None
+    if build_cached:
+        try:
+            with open(side) as f:
+                steady = json.load(f).get("steady") or None
+        except Exception:
+            steady = None
+    if steady is None:
+        steady_n = min(int(os.environ.get("BENCH_STEADY_N", 204_800)), n)
+        s_table = DenseTable(db.shape[1])
+        s_table.insert(db[:steady_n])
+        _timers.reset()
+        _timers.enabled = True
+        os.environ["PGVECTOR_TPU_PHASE_SYNC"] = "1"
+        t0 = time.time()
+        HNSWIndex(s_table, Metric.L2, m=m, ef_construction=64,
+                  wave_size=1024, dedup=False, beam_expand=expand,
+                  capacity=cap)
+        steady_build_s = time.time() - t0
+        _timers.enabled = False
+        os.environ.pop("PGVECTOR_TPU_PHASE_SYNC", None)
+        rep = _timers.report()
+        steady = {
+            "steady_n": steady_n,
+            "steady_build_s": round(steady_build_s, 2),
+            "search_s": round(
+                rep.get("hnsw.wave.search", {}).get("total_s", 0.0), 2),
+            "connect_s": round(
+                rep.get("hnsw.wave.connect", {}).get("total_s", 0.0), 2),
+            "phases": {k: round(v["total_s"], 1) for k, v in rep.items()
+                       if k.startswith("hnsw.")},
+        }
+        try:  # persist alongside the graph so cached runs skip this too
+            with open(side) as f:
+                meta = json.load(f)
+            meta["steady"] = steady
+            with open(side, "w") as f:
+                json.dump(meta, f)
+        except Exception:
+            pass
+    steady_rate = steady["steady_n"] / max(steady["steady_build_s"], 1e-9)
     build_steady_s = n / steady_rate
-    rep = _timers.report()
-    search_s = rep.get("hnsw.wave.search", {}).get("total_s", 0.0)
-    connect_s = rep.get("hnsw.wave.connect", {}).get("total_s", 0.0)
-    build_phases = {k: round(v["total_s"], 1) for k, v in rep.items()
-                    if k.startswith("hnsw.")}
-    search_frac = min(search_s / max(steady_build_s, 1e-9), 1.0)
-    par_frac = min((search_s + connect_s) / max(steady_build_s, 1e-9), 1.0)
-    build_proj_8chip_s = round(
-        build_steady_s * (1.0 - par_frac + par_frac / 8.0), 1)
+    search_s, connect_s = steady["search_s"], steady["connect_s"]
+    build_phases = steady["phases"]
+    search_frac = min(search_s / max(steady["steady_build_s"], 1e-9), 1.0)
+    par_frac = min((search_s + connect_s)
+                   / max(steady["steady_build_s"], 1e-9), 1.0)
+    # 8-chip projection as a RANGE (VERDICT r4 weak #6): the optimistic
+    # bound assumes zero collective overhead; the conservative bound
+    # applies the collective fraction measured on the virtual mesh by
+    # experiments/lane_mesh_overhead.py (committed JSON), which times the
+    # sharded build phases with and without their all_gathers.
+    proj_opt = build_steady_s * (1.0 - par_frac + par_frac / 8.0)
+    coll_frac = 0.0
+    try:
+        with open(os.path.join(_here(), "experiments", "results",
+                               "mesh_overhead.json")) as f:
+            coll_frac = float(json.load(f)["collective_frac"])
+    except Exception:
+        pass
+    proj_cons = build_steady_s * (
+        1.0 - par_frac + par_frac / (8.0 * max(1.0 - coll_frac, 0.1)))
+    build_proj_8chip_s = [round(proj_opt, 1), round(proj_cons, 1)]
     log(f"bench: steady {steady_rate:.0f} rows/s → {build_steady_s:.1f}s at n; "
         f"phases {build_phases} (device-parallel {par_frac:.0%}) → "
         f"8-chip projection {build_proj_8chip_s}s")
+
+    # bytes one layer-0 hop moves per query: the packed scan gathers
+    # ``expand`` contiguous neighbor slabs of (2m, D') each; add the exact
+    # f32 re-rank gather amortized over hops.  This is the numerator of the
+    # achieved-HBM-bandwidth roofline (V5E_HBM_BPS is the denominator) —
+    # the honest "is the scan actually fast" metric for a gather-bound
+    # workload across dims/dtypes.
+    import jax.numpy as jnp_
+
+    pdt, sk = idx._packed_plan()
+    d_eff = sk if sk else db.shape[1]
+    elem_bytes = jnp_.dtype(pdt).itemsize if pdt else 4
+    hop_bytes_per_q = qexpand * 2 * m * d_eff * elem_bytes
 
     results = []
     idx.beam_expand = qexpand  # query-side beam width (build used expand)
@@ -341,13 +524,13 @@ def main():
             t0 = time.time()
             got = []
             hops = 0
-            q_flops = 0
+            q_bytes = 0
             for s in range(0, nq, batch):
                 bs = min(batch, nq - s)
                 _, r = idx.search(qs[s: s + bs], k, ef_search=ef)
                 steps = int(idx._last_scan_steps)
                 hops += steps
-                q_flops += steps * bs * (qexpand * 2 * m) * 128 * 3
+                q_bytes += steps * bs * hop_bytes_per_q
                 got.append(r)
             dt = min(dt, time.time() - t0)
         r = np.concatenate(got)[:nq]
@@ -355,23 +538,27 @@ def main():
             len(set(map(int, a)) & set(map(int, e))) for a, e in zip(r, gt)
         )
         recall = hits / (nq * k)
-        # distance FLOPs: each hop scores (expand × 2m) neighbors × 128-d
-        # L2 (3 flops/dim: sub, mul, add) for every query in the batch
-        flops = q_flops
-        mfu = flops / max(dt, 1e-9) / V5E_BF16_PEAK
+        gbps = q_bytes / max(dt, 1e-9) / 1e9
         results.append({"ef": ef, "recall_at_10": round(recall, 4),
                         "qps": round(nq / dt, 1),
-                        "mfu_vs_bf16_peak": round(mfu, 5),
+                        "hbm_gbps": round(gbps, 1),
+                        "hbm_frac": round(gbps * 1e9 / V5E_HBM_BPS, 3),
                         "layer0_hops": hops})
 
-    # headline: best QPS at recall ≥ 0.95 (else the highest-recall point)
+    # headline: best QPS at recall ≥ 0.95 (else the highest-recall point);
+    # q99 = best QPS at recall ≥ 0.99, the reference's own quality bar
+    # (test/t/012:94) and the level BASELINE.md's ≥10× target is judged at
     ok = [r for r in results if r["recall_at_10"] >= 0.95]
     head = max(ok, key=lambda r: r["qps"]) if ok else max(
         results, key=lambda r: r["recall_at_10"])
+    ok99 = [r for r in results if r["recall_at_10"] >= 0.99]
+    q99 = max(ok99, key=lambda r: r["qps"]) if ok99 else None
     _PARTIAL.update(
         stage="ivf", value=head["qps"],
         vs_baseline=round(head["qps"] / PG_BASELINE_QPS, 3),
         recall_at_10=head["recall_at_10"], ef_search=head["ef"],
+        hbm_gbps=head["hbm_gbps"],
+        q99=[q99["ef"], q99["recall_at_10"], q99["qps"]] if q99 else None,
         sweep=results, build_steady_s=round(build_steady_s, 1),
         build_proj_8chip_s=build_proj_8chip_s)
 
@@ -416,7 +603,7 @@ def main():
     # experiments/lane_gist1m.py → measured_lanes)
     gist = None
     if (os.environ.get("BENCH_GIST", "1") == "1"
-            and not (gist := lane_budget("gist", 900))):
+            and not (gist := lane_budget("gist", 520))):
       try:
         import jax.numpy as jnp
 
@@ -463,7 +650,7 @@ def main():
     # default-on at a time-budgeted slice of the main table (BENCH_BIT_N).
     bit_lane = None
     if (os.environ.get("BENCH_BIT", "1") == "1"
-            and not (bit_lane := lane_budget("bit", 1500))):
+            and not (bit_lane := lane_budget("bit", 720))):
       try:
         from pgvector_tpu.rerank import BinaryQuantizedIndex
         from pgvector_tpu.store.table import BitTable
@@ -580,7 +767,7 @@ def main():
     # sparse build driver-budget-friendly (waves of 256+ instead of 16).
     sparse_lane = None
     if (os.environ.get("BENCH_SPARSE", "1") == "1"
-            and not (sparse_lane := lane_budget("sparse", 1200))):
+            and not (sparse_lane := lane_budget("sparse", 520))):
       try:
         from pgvector_tpu.store.table import SparseTable
         from pgvector_tpu.types.sparsevec import SparseVec
@@ -651,7 +838,7 @@ def main():
     # (BENCH_METRICS_N; the 1M versions are in measured_lanes)
     metric_lanes = None
     mlist = [x for x in os.environ.get("BENCH_METRICS", "ip,cosine").split(",") if x]
-    if mlist and not (metric_lanes := lane_budget("metrics", 900)):
+    if mlist and not (metric_lanes := lane_budget("metrics", 420)):
       try:
         mn = min(int(os.environ.get("BENCH_METRICS_N", 250_000)), n)
         mtab = DenseTable(db.shape[1], capacity=mn)
@@ -699,7 +886,7 @@ def main():
     # hop costs nearly the same regardless of width)
     latency = None
     if (os.environ.get("BENCH_LATENCY", "1") == "1"
-            and not (latency := lane_budget("latency", 600))):
+            and not (latency := lane_budget("latency", 260))):
       try:
         latency = []
         reps = int(os.environ.get("BENCH_LATENCY_REPS", 30))
@@ -736,8 +923,10 @@ def main():
         "vs_baseline": round(head["qps"] / PG_BASELINE_QPS, 3),
         "recall_at_10": head["recall_at_10"],
         "ef_search": head["ef"],
-        "mfu_vs_bf16_peak": head["mfu_vs_bf16_peak"],
+        "hbm_gbps": head["hbm_gbps"],
+        "q99": [q99["ef"], q99["recall_at_10"], q99["qps"]] if q99 else None,
         "build_s": round(build_s, 1),
+        "build_cached": build_cached,
         "build_steady_s": round(build_steady_s, 1),
         "build_phases_steady": build_phases,
         "build_search_frac": round(search_frac, 3),
@@ -763,9 +952,9 @@ def main():
     out["wall_s"] = round(time.time() - t_run0, 1)
     # the lanes above run at time-budgeted sizes; the full-scale (1M/10M)
     # versions were measured on the real chip by the experiments/ scripts —
-    # surface the latest summary (provenance-labeled) alongside
+    # point at the latest summary (provenance-labeled) alongside
     _attach_measured(out)
-    print(json.dumps(out))
+    print(_compact_line(out))
 
 
 if __name__ == "__main__":

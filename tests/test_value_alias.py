@@ -113,3 +113,33 @@ def test_alias_survives_table_growth_donation():
     idx.insert(np.arange(700, 1400))
     assert idx._alias_values  # identity mapping continued — still aliased
     assert _recall(idx, t, np.asarray(t.data[700:730]), Metric.L2) > 0.9
+
+
+def test_grow_during_lazy_non_identity_insert_writes_batch_values():
+    # ADVICE r4 (high): a lazy alias insert whose batch both reuses freed
+    # slots (non-identity elem↔row mapping) AND pushes n_elems past cap_e
+    # used to lose the batch's values — _grow() cleared _alias_values
+    # before the `values is None` branch ran, so _materialize_values()
+    # early-returned and the new elements silently kept the grow-pad
+    # contents (table row e, or zeros past the table).
+    rng = np.random.default_rng(12)
+    db = rng.normal(size=(1000, 16)).astype(np.float32)
+    t = DenseTable(16, capacity=4096)
+    t.insert(db)
+    idx = HNSWIndex(t, Metric.L2, m=8, ef_construction=32, dedup=False,
+                    capacity=1024)
+    assert idx._alias_values and idx.cap_e == 1024
+    t.delete(np.arange(40))
+    idx.vacuum()
+    assert idx.free_slots  # non-identity mapping for the next batch
+    new = rng.normal(size=(200, 16)).astype(np.float32) + 50.0  # far cluster
+    rows = t.insert(new)
+    idx.insert(rows)  # reuses freed slots AND grows 1024 → 2048 mid-call
+    assert idx.cap_e == 2048 and not idx._alias_values
+    # every new element's stored value must equal its heap row
+    for r in map(int, rows):
+        e = idx.row_to_elem[r]
+        np.testing.assert_array_equal(np.asarray(idx.values[0][e]),
+                                      np.asarray(t.data[r]))
+    # and the far cluster must actually be found (wrong values → recall 0)
+    assert _recall(idx, t, new[:20], Metric.L2) > 0.9
