@@ -282,7 +282,7 @@ def main():
     n = int(os.environ.get("BENCH_N", 1_000_000))
     nq = int(os.environ.get("BENCH_Q", 8000))
     batch = int(os.environ.get("BENCH_BATCH", 8000))
-    ef_sweep = [int(x) for x in os.environ.get("BENCH_EF", "24,40,64,100").split(",")]
+    ef_sweep = [int(x) for x in os.environ.get("BENCH_EF", "24,40,64,80,100").split(",")]
     expand = int(os.environ.get("BENCH_EXPAND", 4))        # build-side beam
     qexpand = int(os.environ.get("BENCH_QEXPAND", 8))     # query-side beam
     run_ivf = os.environ.get("BENCH_IVF", "1") == "1"
@@ -595,7 +595,43 @@ def main():
       except Exception as e:
         log(f"bench: ivf lane failed: {e!r}")
         ivf = {**(ivf or {}), "error": f"{type(e).__name__}: {e}"[:300]}
-    _PARTIAL.update(stage="gist", ivf=ivf)
+    _PARTIAL.update(stage="latency", ivf=ivf)
+    # serving-latency table (VERDICT r3 #4): p50/p99 per batch size on the
+    # headline index at the headline ef; expand=40 is the latency-tuned
+    # beam (wider beam → fewer sequential layer-0 hops; at tiny batches a
+    # hop costs nearly the same regardless of width).  Runs BEFORE the
+    # big-table lanes: round-5's gist-lane OOM left its 8 GB int8 cache
+    # referenced from the except frame and starved this lane of HBM.
+    latency = None
+    if (os.environ.get("BENCH_LATENCY", "1") == "1"
+            and not (latency := lane_budget("latency", 260))):
+      try:
+        latency = []
+        reps = int(os.environ.get("BENCH_LATENCY_REPS", 30))
+        for lexpand in (qexpand, 40):
+            idx.beam_expand = lexpand
+            for lbatch in (1, 16, 256):
+                idx.search(qs[:lbatch], k, ef_search=head["ef"])  # compile
+                lats = []
+                for rep in range(reps):
+                    s0 = (rep * lbatch) % (nq - lbatch + 1)
+                    t0 = time.time()
+                    idx.search(qs[s0: s0 + lbatch], k, ef_search=head["ef"])
+                    lats.append((time.time() - t0) * 1e3)
+                lats.sort()
+                latency.append({
+                    "expand": lexpand, "batch": lbatch,
+                    "p50_ms": round(lats[len(lats) // 2], 2),
+                    "p99_ms": round(lats[min(len(lats) - 1,
+                                             int(len(lats) * 0.99))], 2),
+                    "hops": int(idx._last_scan_steps)})
+                log(f"bench: latency {latency[-1]}")
+        idx.beam_expand = qexpand
+      except Exception as e:
+        log(f"bench: latency lane failed: {e!r}")
+        latency = {"rows": latency or [],
+                   "error": f"{type(e).__name__}: {e}"[:300]}
+    _PARTIAL.update(stage="gist", latency=latency)
 
     # GIST-1M-shaped halfvec lane (960-d, bf16 storage) — BASELINE.md's
     # "halfvec fp16 HNSW on GIST-1M with bf16 kernels" target, default-on
@@ -643,6 +679,9 @@ def main():
       except Exception as e:
         log(f"bench: gist lane failed: {e!r}")
         gist = {**(gist or {}), "error": f"{type(e).__name__}: {e}"[:300]}
+        # drop the lane's device arrays (a failed compile can leave an
+        # ~8 GB packed cache referenced from this frame, OOMing later lanes)
+        gidx = gtab = gdb = ggt = None
     _PARTIAL.update(stage="bit", gist_halfvec=gist)
 
     # bit/Hamming + binary-quantization re-rank lane — BASELINE.md's
@@ -831,6 +870,7 @@ def main():
         log(f"bench: sparse lane failed: {e!r}")
         sparse_lane = {**(sparse_lane or {}),
                        "error": f"{type(e).__name__}: {e}"[:300]}
+        sidx = stab = None
     _PARTIAL.update(stage="metric_lanes", sparse=sparse_lane)
 
     # IP / cosine opclass sweeps (BENCH_METRICS, default both) — each
@@ -880,40 +920,6 @@ def main():
                         "error": f"{type(e).__name__}: {e}"[:300]}
     _PARTIAL.update(stage="latency", metric_lanes=metric_lanes)
 
-    # serving-latency table (VERDICT r3 #4): p50/p99 per batch size on the
-    # headline index at the headline ef; expand=40 is the latency-tuned
-    # beam (wider beam → fewer sequential layer-0 hops; at tiny batches a
-    # hop costs nearly the same regardless of width)
-    latency = None
-    if (os.environ.get("BENCH_LATENCY", "1") == "1"
-            and not (latency := lane_budget("latency", 260))):
-      try:
-        latency = []
-        reps = int(os.environ.get("BENCH_LATENCY_REPS", 30))
-        for lexpand in (qexpand, 40):
-            idx.beam_expand = lexpand
-            for lbatch in (1, 16, 256):
-                idx.search(qs[:lbatch], k, ef_search=head["ef"])  # compile
-                lats = []
-                for rep in range(reps):
-                    s0 = (rep * lbatch) % (nq - lbatch + 1)
-                    t0 = time.time()
-                    idx.search(qs[s0: s0 + lbatch], k, ef_search=head["ef"])
-                    lats.append((time.time() - t0) * 1e3)
-                lats.sort()
-                latency.append({
-                    "expand": lexpand, "batch": lbatch,
-                    "p50_ms": round(lats[len(lats) // 2], 2),
-                    "p99_ms": round(lats[min(len(lats) - 1,
-                                             int(len(lats) * 0.99))], 2),
-                    "hops": int(idx._last_scan_steps)})
-                log(f"bench: latency {latency[-1]}")
-        idx.beam_expand = qexpand
-      except Exception as e:
-        log(f"bench: latency lane failed: {e!r}")
-        latency = {"rows": latency or [],
-                   "error": f"{type(e).__name__}: {e}"[:300]}
-    _PARTIAL.update(stage="assemble", latency=latency)
 
     _deadman_t.cancel()
     out = {

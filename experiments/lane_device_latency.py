@@ -61,7 +61,7 @@ def probe(idx, qs, label, expands=(8, 40), reps=50):
         def body(i, acc):
             q = jax.lax.dynamic_slice(
                 qs_dev, (i % qs_dev.shape[0], 0), (1, qs_dev.shape[1]))
-            d, r, _ = K.query_search(
+            d, r, _, _ = K.query_search(
                 idx.kind, idx.metric, idx.values, idx.nbr0, idx.nbr_up,
                 idx._up_slot_dev, idx._elem_rows_dev, idx.table.valid, None,
                 q, jnp.int32(idx.entry), jnp.int32(idx.entry_level),

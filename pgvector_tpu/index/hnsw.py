@@ -1330,7 +1330,7 @@ class HNSWIndex:
             prune = int(__import__("os").environ.get(
                 "PGVECTOR_TPU_SKETCH_PRUNE", 64))
         query_fn = K.query_search_host if K.use_host_loop() else K.query_search
-        d, r, steps = query_fn(
+        d, r, steps, packed_back = query_fn(
             self.kind, self.metric, self.values,
             self.nbr0, self.nbr_up, self._up_slot_dev,
             self._elem_rows_dev,
@@ -1352,7 +1352,11 @@ class HNSWIndex:
                          and K.visited_mode() == "off"),
             user_dist=True,  # stored→operator transform folded into the jit
         )
-        #: layer-0 hop count of the last scan — telemetry for FLOP/MFU
+        if packed_vals is not None:
+            # the kernel DONATES the packed cache and returns it aliased
+            # (no copy) — rebind so the next search reuses the same buffer
+            self._nbr_vals = packed_back
+        #: layer-0 hop count of the last scan — telemetry for bandwidth
         #: accounting (bench.py); a device scalar until read
         self._last_scan_steps = steps
         return d, r

@@ -1609,6 +1609,13 @@ def _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k: int,
     static_argnames=("kind", "metric", "ef", "m", "l_unroll", "k", "heaptids",
                      "expand", "vmode", "rerank", "max_steps", "pallas_tail",
                      "prune", "user_dist"),
+    # the packed cache is DONATED and returned verbatim: as a read-only
+    # entry parameter feeding the hop while_loop, XLA copy-insertion gave
+    # the loop its own 8 GB copy of the cache (the round-5 GIST-200k int8
+    # OOM: 17.8 G needed of 15.75 G).  Donation lets buffer assignment
+    # hand the loop the caller's buffer; the caller rebinds its reference
+    # to the aliased output (hnsw._search_once).
+    donate_argnames=("packed_vals",),
 )
 def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                  row_valid, fmask, qs, entry, entry_level, ef: int, m: int,
@@ -1661,7 +1668,9 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
         from ..ops.metric import stored_to_user
 
         d = stored_to_user(metric, d)
-    return d, r, steps
+    # pass the donated cache back out (aliased, not copied) — see the
+    # donate_argnames note above; None when no packed cache is in play
+    return d, r, steps, packed_vals
 
 
 @functools.partial(jax.jit, static_argnames=("k", "heaptids"))
@@ -1767,4 +1776,4 @@ def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
         from ..ops.metric import stored_to_user
 
         d = stored_to_user(metric, d)
-    return d, r, steps
+    return d, r, steps, packed_vals  # interface parity with query_search

@@ -700,7 +700,7 @@ class DeviceShardedHNSWIndex:
             vals = tuple(a[0] for a in args[:n_val])
             (nbr0_s, nbr_up_s, up_slot_s, elem_rows_s, entry_s, entlv_s,
              row_valid, fmask, qs) = args[n_val:]
-            d, r, _ = K.query_search(
+            d, r, _, _ = K.query_search(
                 kind, metric, vals, nbr0_s[0], nbr_up_s[0], up_slot_s[0],
                 elem_rows_s[0], row_valid, fmask, qs, entry_s[0], entlv_s[0],
                 ef=ef, m=m, l_unroll=l_unroll, k=k, heaptids=heaptids,
