@@ -566,42 +566,15 @@ def main():
     # isolated (try at one extra half-step keeps lane bodies diff-clean) —
     # a lane-specific OOM or worker fault records an error in that lane's
     # field instead of erasing every lane after it.
-    ivf = None
-    if run_ivf and not (ivf := lane_budget("ivf", 240)):
-      try:
-        # release the HNSW scan cache (the packed bf16 neighbor copy is
-        # ~8 GB at 1M — holding it while IVF materializes its posting
-        # slabs OOMs a 16 GB chip)
-        idx._nbr_vals = None
-        lists = max(min(n // 1000, 32768), 32)  # README.md:336-342 sizing
-        t0 = time.time()
-        ividx = IVFFlatIndex(table, Metric.L2, lists=lists, seed=1)
-        ivf_build_s = time.time() - t0
-        ividx.search(qs[:batch], k, probes=10)  # compile
-        t0 = time.time()
-        got = []
-        for s in range(0, nq, batch):
-            _, r = ividx.search(qs[s: s + batch], k, probes=10)
-            got.append(r)
-        dt = time.time() - t0
-        r = np.concatenate(got)[:nq]
-        hits = sum(
-            len(set(map(int, a)) & set(map(int, e))) for a, e in zip(r, gt)
-        )
-        ivf = {"lists": lists, "probes": 10,
-               "recall_at_10": round(hits / (nq * k), 4),
-               "qps": round(nq / dt, 1), "build_s": round(ivf_build_s, 1)}
-        log(f"bench: ivf {ivf}")
-      except Exception as e:
-        log(f"bench: ivf lane failed: {e!r}")
-        ivf = {**(ivf or {}), "error": f"{type(e).__name__}: {e}"[:300]}
-    _PARTIAL.update(stage="latency", ivf=ivf)
     # serving-latency table (VERDICT r3 #4): p50/p99 per batch size on the
     # headline index at the headline ef; expand=40 is the latency-tuned
     # beam (wider beam → fewer sequential layer-0 hops; at tiny batches a
-    # hop costs nearly the same regardless of width).  Runs BEFORE the
-    # big-table lanes: round-5's gist-lane OOM left its 8 GB int8 cache
-    # referenced from the except frame and starved this lane of HBM.
+    # hop costs nearly the same regardless of width).  Runs FIRST among the
+    # optional lanes, straight off the headline sweep: the packed scan
+    # cache is already materialized there, so this lane allocates nothing —
+    # running it after IVF instead re-materialized the ~8 GB cache while
+    # the IVF posting slabs were still alive and OOM'd the 16 GB chip
+    # (observed in the round-5 rehearsal run).
     latency = None
     if (os.environ.get("BENCH_LATENCY", "1") == "1"
             and not (latency := lane_budget("latency", 260))):
@@ -631,7 +604,41 @@ def main():
         log(f"bench: latency lane failed: {e!r}")
         latency = {"rows": latency or [],
                    "error": f"{type(e).__name__}: {e}"[:300]}
-    _PARTIAL.update(stage="gist", latency=latency)
+    _PARTIAL.update(stage="ivf", latency=latency)
+
+    ivf = None
+    if run_ivf and not (ivf := lane_budget("ivf", 240)):
+      try:
+        # release the HNSW scan cache (the packed bf16 neighbor copy is
+        # ~8 GB at 1M — holding it while IVF materializes its posting
+        # slabs OOMs a 16 GB chip)
+        idx._nbr_vals = None
+        lists = max(min(n // 1000, 32768), 32)  # README.md:336-342 sizing
+        t0 = time.time()
+        ividx = IVFFlatIndex(table, Metric.L2, lists=lists, seed=1)
+        ivf_build_s = time.time() - t0
+        ividx.search(qs[:batch], k, probes=10)  # compile
+        t0 = time.time()
+        got = []
+        for s in range(0, nq, batch):
+            _, r = ividx.search(qs[s: s + batch], k, probes=10)
+            got.append(r)
+        dt = time.time() - t0
+        r = np.concatenate(got)[:nq]
+        hits = sum(
+            len(set(map(int, a)) & set(map(int, e))) for a, e in zip(r, gt)
+        )
+        ivf = {"lists": lists, "probes": 10,
+               "recall_at_10": round(hits / (nq * k), 4),
+               "qps": round(nq / dt, 1), "build_s": round(ivf_build_s, 1)}
+        log(f"bench: ivf {ivf}")
+        # free the posting slabs before the big-table lanes below
+        del ividx
+      except Exception as e:
+        log(f"bench: ivf lane failed: {e!r}")
+        ivf = {**(ivf or {}), "error": f"{type(e).__name__}: {e}"[:300]}
+        ividx = None
+    _PARTIAL.update(stage="gist", ivf=ivf)
 
     # GIST-1M-shaped halfvec lane (960-d, bf16 storage) — BASELINE.md's
     # "halfvec fp16 HNSW on GIST-1M with bf16 kernels" target, default-on
@@ -640,6 +647,10 @@ def main():
     gist = None
     if (os.environ.get("BENCH_GIST", "1") == "1"
             and not (gist := lane_budget("gist", 520))):
+     # one retry: the rehearsal run lost this lane to a transient tunnel
+     # fault ("remote_compile: HTTP 500: tpu_compile_helper exit 1") that a
+     # fresh attempt would have cleared
+     for _gist_attempt in (1, 2):
       try:
         import jax.numpy as jnp
 
@@ -676,12 +687,17 @@ def main():
         gidx._nbr_vals = None
         del gidx, gtab
         log(f"bench: gist {gist}")
+        break
       except Exception as e:
-        log(f"bench: gist lane failed: {e!r}")
-        gist = {**(gist or {}), "error": f"{type(e).__name__}: {e}"[:300]}
+        log(f"bench: gist lane failed (attempt {_gist_attempt}): {e!r}")
+        gist = {**{k_: v_ for k_, v_ in (gist or {}).items()
+                   if k_ != "error"},
+                "error": f"{type(e).__name__}: {e}"[:300]}
         # drop the lane's device arrays (a failed compile can leave an
         # ~8 GB packed cache referenced from this frame, OOMing later lanes)
         gidx = gtab = gdb = ggt = None
+        if lane_budget("gist-retry", 520):
+            break
     _PARTIAL.update(stage="bit", gist_halfvec=gist)
 
     # bit/Hamming + binary-quantization re-rank lane — BASELINE.md's

@@ -68,6 +68,10 @@ def main():
     if g8:
         g8["script"] = "experiments/lane_gist_int8.py"
         out["gist_200k_int8_tier"] = g8
+    wab = _load("lane_wave_ab.json")
+    if wab:
+        wab["script"] = "experiments/lane_wave_ab.py"
+        out["build_wave_size_ab_205k"] = wab
     with open(os.path.join(RES, "summary_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
     print("summary_r05.json:", sorted(out.keys()))

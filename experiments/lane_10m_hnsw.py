@@ -22,9 +22,15 @@ from pgvector_tpu.ops.metric import Metric
 from bench import make_data
 
 OUT = os.environ.get("LANE_OUT",
-                     "/root/repo/experiments/results/lane_10m_hnsw_r4.json")
+                     "/root/repo/experiments/results/lane_10m_hnsw_r5.json")
 nq, k, batch = 4000, 10, 4000
 n = int(os.environ.get("LANE_N", 10_000_000))
+# wave size is the build-throughput lever at 10M: waves are independent
+# batched beam searches, and batch efficiency is strongly sublinear (the
+# 1M latency table: batch 256 costs ~1.2x batch 1), so fewer, fatter waves
+# raise rows/s.  r4's 8,599 s build ran wave 1024; r5 defaults to 2048
+# after an on-chip 205k A/B (see lane JSON build_wave field).
+WAVE = int(os.environ.get("LANE_WAVE", 2048))
 db, qs = make_data(n, nq)
 table = DenseTable(128, dtype=jnp.bfloat16, capacity=n)
 for s in range(0, n, 2_500_000):
@@ -72,8 +78,9 @@ if os.path.isdir(CKPT):
 else:
     t0 = time.time()
     idx = HNSWIndex(table, Metric.L2, m=16, ef_construction=64,
-                    wave_size=1024, dedup=False, beam_expand=4)
+                    wave_size=WAVE, dedup=False, beam_expand=4)
     out["build_s"] = round(time.time() - t0, 1)
+    out["build_wave"] = WAVE
     save()
     print("build", out["build_s"], flush=True)
     from pgvector_tpu.io import save_hnsw

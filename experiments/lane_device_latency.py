@@ -100,7 +100,10 @@ db, qs = make_data(N, 512)
 table = DenseTable(128, capacity=N)
 table.insert(db)
 del db
-CKPT = "/tmp/lane1m_lat_ckpt"
+# the bench graph cache (.bench_cache/hnsw_n1000000_…_w1024) is the SAME
+# build — same deterministic make_data db, same m/efc/expand/wave/capacity
+# — so LAT_CKPT can point there and skip the ~680 s rebuild entirely
+CKPT = os.environ.get("LAT_CKPT", "/tmp/lane1m_lat_ckpt")
 if os.path.isdir(CKPT):
     from pgvector_tpu.io import load_hnsw
 
