@@ -31,6 +31,11 @@ n = int(os.environ.get("LANE_N", 10_000_000))
 # raise rows/s.  r4's 8,599 s build ran wave 1024; r5 defaults to 2048
 # after an on-chip 205k A/B (see lane JSON build_wave field).
 WAVE = int(os.environ.get("LANE_WAVE", 2048))
+# efc floor is 2*m (the reference's own constraint); efc=40 cuts the
+# per-wave search/connect work ~40% vs r4's efc=64 run so the session
+# reaches the serving sweep — the r4 row keeps the efc=64 build_s
+# evidence, this lane's JSON records its own config.
+EFC = int(os.environ.get("LANE_EFC", 64))
 db, qs = make_data(n, nq)
 table = DenseTable(128, dtype=jnp.bfloat16, capacity=n)
 for s in range(0, n, 2_500_000):
@@ -77,10 +82,11 @@ if os.path.isdir(CKPT):
           flush=True)
 else:
     t0 = time.time()
-    idx = HNSWIndex(table, Metric.L2, m=16, ef_construction=64,
+    idx = HNSWIndex(table, Metric.L2, m=16, ef_construction=EFC,
                     wave_size=WAVE, dedup=False, beam_expand=4)
     out["build_s"] = round(time.time() - t0, 1)
     out["build_wave"] = WAVE
+    out["build_efc"] = EFC
     save()
     print("build", out["build_s"], flush=True)
     from pgvector_tpu.io import save_hnsw
