@@ -270,6 +270,45 @@ class FlatIndex:
                 _grouped_group_size(table.count, len(q)),
             )
 
+        # Densified-TILE path (L2/IP/cosine beyond the full-copy budget):
+        # the vmapped merge-join kernel at [chunk, tile, nnz] shapes has
+        # hard-crashed this image's axon worker (kernel fault, reproduced
+        # twice on the 1M×4096-d GT lane) — and a device-side
+        # scatter-densify per tile + one MXU matmul is faster anyway.
+        # Tile rows are sized so the dense [tile, dim] f32 temp stays
+        # under PGVECTOR_TPU_SPARSE_TILE_BYTES (default 512 MB); below
+        # 512 rows/tile (dim ≳ 250k) the merge-join path wins again.
+        if metric in (Metric.L2, Metric.IP, Metric.COSINE):
+            tile_budget = int(os.environ.get(
+                "PGVECTOR_TPU_SPARSE_TILE_BYTES", str(512 << 20)))
+            t_rows = min(max(tile_budget // (table.dim * 4), 1), self.tile)
+            t_rows = 1 << (int(t_rows).bit_length() - 1)  # floor pow2
+            if t_rows >= 512:
+                qs = np.zeros((len(q), table.dim), dtype=np.float32)
+                for r, sv in enumerate(q):
+                    qs[r, sv.indices] = sv.values
+                qs_dev = jnp.asarray(qs)
+                pad_i = table.pad_index
+                dim = table.dim
+                self.last_path = "densified-tile"
+
+                def score(tile_idx, tile_val):
+                    t = tile_idx.shape[0]
+                    rows = jnp.broadcast_to(
+                        jnp.arange(t, dtype=jnp.int32)[:, None],
+                        tile_idx.shape)
+                    ok = tile_idx < pad_i
+                    cols = jnp.where(ok, tile_idx, 0).astype(jnp.int32)
+                    vals = jnp.where(ok, tile_val, jnp.float32(0))
+                    dense = jnp.zeros((t, dim), jnp.float32)
+                    dense = dense.at[rows, cols].add(vals)
+                    return D.dense_scores(metric, qs_dev, dense)
+
+                return tiled_topk(
+                    score, (table.idx, table.val), table.count, k,
+                    tile=t_rows, valid=self._valid(fmask),
+                )
+
         pq = max(max((sv.nnz for sv in q), default=1), 1)
         q_idx = np.full((len(q), pq), table.pad_index, dtype=np.int32)
         q_val = np.zeros((len(q), pq), dtype=np.float32)

@@ -199,24 +199,35 @@ def test_sparse_densified_matches_merge_join():
         assert f_dense.last_path == "grouped-densified"
         old_b = os.environ.get("PGVECTOR_TPU_SPARSE_DENSIFY_GB")
         old_c = os.environ.get("PGVECTOR_TPU_SPARSE_CHUNK")
+        old_t = os.environ.get("PGVECTOR_TPU_SPARSE_TILE_BYTES")
         try:
             os.environ["PGVECTOR_TPU_SPARSE_DENSIFY_GB"] = "0"
+            # densified-TILE engine (device-side scatter per tile + MXU
+            # matmul — the path the axon merge-join worker crash forced
+            # for 1M×4096-d ground truth)
+            f_dt = FlatIndex(table, metric, tile=1024)  # force tile seams
+            d_t, i_t = f_dt.search(queries, k)
+            assert f_dt.last_path == "densified-tile"
+            os.environ["PGVECTOR_TPU_SPARSE_TILE_BYTES"] = "0"
             os.environ["PGVECTOR_TPU_SPARSE_CHUNK"] = "7"  # force chunk seams
             f_mj = FlatIndex(table, metric)
             d_m, i_m = f_mj.search(queries, k)
             assert f_mj.last_path == "xla-sparse"
         finally:
             for key, old in (("PGVECTOR_TPU_SPARSE_DENSIFY_GB", old_b),
-                             ("PGVECTOR_TPU_SPARSE_CHUNK", old_c)):
+                             ("PGVECTOR_TPU_SPARSE_CHUNK", old_c),
+                             ("PGVECTOR_TPU_SPARSE_TILE_BYTES", old_t)):
                 if old is None:
                     os.environ.pop(key, None)
                 else:
                     os.environ[key] = old
         assert np.allclose(d_d, d_m, rtol=1e-4, atol=1e-4), metric
-        for a, b, dd in zip(i_d, i_m, d_d):
+        assert np.allclose(d_d, d_t, rtol=1e-4, atol=1e-4), metric
+        for a, b, c, dd in zip(i_d, i_m, i_t, d_d):
             uniq = len(np.unique(np.round(dd[np.isfinite(dd)], 5)))
             if uniq == np.isfinite(dd).sum():
                 assert set(a[a >= 0]) == set(b[b >= 0]), metric
+                assert set(a[a >= 0]) == set(c[c >= 0]), metric
     # cache invalidation: a mutation must drop the stale dense copy
     f = FlatIndex(table, Metric.L2)
     f.search(queries[:2], k)
