@@ -57,16 +57,20 @@ def probe(idx, qs, label, expands=(8, 40), reps=50):
     pdt, sk = idx._packed_plan()
     packed = idx._ensure_nbr_vals(pdt, sk) if pdt is not None else None
 
-    def _loop_search(qs_dev, reps: int, expand: int):
+    # graph arrays enter as jit ARGUMENTS, not closure captures: captured
+    # device arrays lower as constants baked into the program (8.91 GB at
+    # 1M — the compile wedged through the tunnel until the lane timeout)
+    def _loop_search(values, nbr0, nbr_up, up_slot, elem_rows, valid,
+                     packed_v, qs_dev, reps: int, expand: int):
         def body(i, acc):
             q = jax.lax.dynamic_slice(
                 qs_dev, (i % qs_dev.shape[0], 0), (1, qs_dev.shape[1]))
             d, r, _, _ = K.query_search(
-                idx.kind, idx.metric, idx.values, idx.nbr0, idx.nbr_up,
-                idx._up_slot_dev, idx._elem_rows_dev, idx.table.valid, None,
+                idx.kind, idx.metric, values, nbr0, nbr_up,
+                up_slot, elem_rows, valid, None,
                 q, jnp.int32(idx.entry), jnp.int32(idx.entry_level),
                 ef=EF, m=idx.m, l_unroll=idx._l_unroll, k=10, heaptids=10,
-                expand=expand, packed_vals=packed,
+                expand=expand, packed_vals=packed_v,
                 rerank=(pdt is not None and pdt != jnp.float32),
                 user_dist=True,
             )
@@ -74,15 +78,17 @@ def probe(idx, qs, label, expands=(8, 40), reps=50):
 
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-    loop_jit = jax.jit(_loop_search, static_argnums=(1, 2))
+    loop_jit = jax.jit(_loop_search, static_argnums=(8, 9))
+    args = (idx.values, idx.nbr0, idx.nbr_up, idx._up_slot_dev,
+            idx._elem_rows_dev, idx.table.valid, packed)
     qs_dev, _ = idx._query_rep(qs[:256])  # same coercion production uses
     for expand in expands:
-        loop_jit(qs_dev, 1, expand).block_until_ready()  # compile
+        loop_jit(*args, qs_dev, 1, expand).block_until_ready()  # compile
         t0 = time.time()
-        loop_jit(qs_dev, reps, expand).block_until_ready()
+        loop_jit(*args, qs_dev, reps, expand).block_until_ready()
         total_ms = (time.time() - t0) * 1e3
         t0 = time.time()
-        loop_jit(qs_dev, 1, expand).block_until_ready()
+        loop_jit(*args, qs_dev, 1, expand).block_until_ready()
         one_ms = (time.time() - t0) * 1e3
         # total includes one dispatch; (total - one)/(reps-1) cancels it
         dev_ms = (total_ms - one_ms) / (reps - 1)
