@@ -822,13 +822,19 @@ def main():
     # sparse build driver-budget-friendly (waves of 256+ instead of 16).
     sparse_lane = None
     if (os.environ.get("BENCH_SPARSE", "1") == "1"
-            and not (sparse_lane := lane_budget("sparse", 520))):
+            and not (sparse_lane := lane_budget("sparse", 700))):
       try:
         from pgvector_tpu.store.table import SparseTable
         from pgvector_tpu.types.sparsevec import SparseVec
 
         idx._nbr_vals = None
-        sn = int(os.environ.get("BENCH_SPARSE_N", 100_000))
+        # 16k default, not 100k: the 512 MB sparse pairwise bound clamps
+        # 4096-d builds to 64-row waves (cap = bound // (C·dim·8)), and
+        # the ~1.6 s fixed per-wave cost then bounds build throughput at
+        # ~40 rows/s — 16k ≈ 7 min, 100k ≈ 42 min (measured round-5; the
+        # old estimate never survived contact because every prior run
+        # budget-skipped or wedged before measuring the build)
+        sn = int(os.environ.get("BENCH_SPARSE_N", 16_384))
         sdim, snnz = 4096, 32
         rng = np.random.default_rng(11)
         # distinct sorted indices per row (argpartition of a random key
