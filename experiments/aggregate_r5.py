@@ -53,10 +53,18 @@ def main():
     if ten:
         ten["script"] = "experiments/lane_10m_hnsw.py"
         out["hnsw_10m_128d_bf16"] = ten
+    four = _load("lane_4m_hnsw_r5.json")
+    if four:
+        four["script"] = "experiments/lane_10m_hnsw.py (LANE_N=4M, cap 16M)"
+        out["hnsw_4m_128d_bf16"] = four
     sp = _load("lane_sparse1m_r5.json")
     if sp:
         sp["script"] = "experiments/lane_sparse1m.py"
         out["sparse_1m_ip"] = sp
+    spm = _load("lane_sparse24k_r5.json")
+    if spm:
+        spm["script"] = "experiments/lane_sparse1m.py (LANE_N=24576)"
+        out["sparse_24k_ip"] = spm
     lat = _load("lane_latency_r5.json")
     if lat:
         lat["script"] = "experiments/lane_device_latency.py"

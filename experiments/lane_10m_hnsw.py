@@ -37,7 +37,12 @@ WAVE = int(os.environ.get("LANE_WAVE", 2048))
 # evidence, this lane's JSON records its own config.
 EFC = int(os.environ.get("LANE_EFC", 64))
 db, qs = make_data(n, nq)
-table = DenseTable(128, dtype=jnp.bfloat16, capacity=n)
+# LANE_CAP lets a smaller-n run reuse programs compiled for a bigger
+# capacity: wave/search program shapes are capacity-specialized, and a
+# fresh capacity costs a ~10-15 min remote compile stall on this image —
+# the 4M pivot rides the cap-16M programs the 10M attempt just compiled.
+CAP = int(os.environ.get("LANE_CAP", 0)) or n
+table = DenseTable(128, dtype=jnp.bfloat16, capacity=CAP)
 for s in range(0, n, 2_500_000):
     table.insert(db[s:s+2_500_000])
 del db
@@ -52,9 +57,11 @@ def save():
 
 # resumable milestones: the axon worker can wedge mid-lane (watchdog_run
 # kills + retries); GT and the built graph persist so a retry never
-# repeats a finished 1.5 h phase
-GT_NPY = "/tmp/lane10m_gt.npy"
-CKPT = "/tmp/lane10m_ckpt"
+# repeats a finished 1.5 h phase.  Paths are n-specific: the r5 session
+# briefly shared one GT path between the 10M and 4M configs, which would
+# have silently scored one lane's recall against the other's GT on resume.
+GT_NPY = f"/tmp/lane10m_gt_{n}.npy"
+CKPT = f"/tmp/lane10m_ckpt_{n}"
 if os.path.exists(GT_NPY):
     gt = np.load(GT_NPY)
     prior = json.load(open(OUT)) if os.path.exists(OUT) else {}

@@ -452,7 +452,8 @@ class HNSWIndex:
         return jnp.where(elems[:, None] >= 0, out, False)
 
     def _scorer(self):
-        return K.make_scorer(self.kind, self.metric, self.values)
+        return K.make_scorer(self.kind, self.metric, self.values,
+                             self._scorer_sdim())
 
     # ------------------------------------------------------------------ build
     def build(self) -> None:
@@ -676,6 +677,22 @@ class HNSWIndex:
         dim = int(self.table.dim)
         return dim if dim * 4 < c * self._nnz_lanes() * 8 else 0
 
+    def _scorer_sdim(self) -> int:
+        """Logical dim for the densified-query scorer (K.make_scorer), or 0
+        for the merge-join scorer.  Unlike _pair_sdim (whose densified
+        block scales with the candidate count C), the scorer's dense block
+        is just (Q, dim+1) f32 — Q·dim·4 bytes regardless of hop width —
+        so any moderate logical dim qualifies; million-dim sparsevecs keep
+        the merge join.  Besides being strictly cheaper (gather vs binary
+        search per stored entry), this keeps the searchsorted merge-join
+        gather kernel — which hard-crashes this image's TPU worker at
+        large shapes (BENCH_NOTES r5) — out of every search program.  L1
+        needs the overlap mask and keeps the merge join."""
+        if self.kind != "sparse" or self.metric is Metric.L1:
+            return 0
+        dim = int(self.table.dim)
+        return dim if dim <= 32768 else 0
+
     def _sparse_pair_rows_cap(self) -> int:
         """Max rows per pairwise sparse select/merge call: the transients
         — (rows, C, sdim) densified blocks, or (rows, C, C, nnz_lanes)
@@ -850,6 +867,7 @@ class HNSWIndex:
                 ef=self.ef_construction, m=self.m,
                 l_unroll=self._l_unroll, exclude_self=exclude_self,
                 expand=self.beam_expand, vmode=K.visited_mode(),
+                sdim=self._scorer_sdim(),
             )
             return out_d, out_i, nq, nq_pad
         wave_fn = K.wave_search_host if K.use_host_loop() else K.wave_search
@@ -861,6 +879,7 @@ class HNSWIndex:
             ef=self.ef_construction, m=self.m,
             l_unroll=self._l_unroll, exclude_self=exclude_self,
             expand=self.beam_expand, vmode=K.visited_mode(),
+            sdim=self._scorer_sdim(),
         )
         return out_d, out_i, nq, nq_pad
 
@@ -1351,6 +1370,7 @@ class HNSWIndex:
             pallas_tail=(pdt is not None and K.use_pallas_tail()
                          and K.visited_mode() == "off"),
             user_dist=True,  # stored→operator transform folded into the jit
+            sdim=self._scorer_sdim(),
         )
         if packed_vals is not None:
             # the kernel DONATES the packed cache and returns it aliased
@@ -1380,6 +1400,7 @@ class HNSWIndex:
             self._up_slot_dev, qs, jnp.int32(self.entry),
             jnp.int32(self.entry_level), ef=ef, m=self.m,
             l_unroll=self._l_unroll, dk=dk, expand=self.beam_expand,
+            sdim=self._scorer_sdim(),
         )
         acc_d: List[np.ndarray] = []
         acc_r: List[np.ndarray] = []
@@ -1438,6 +1459,7 @@ class HNSWIndex:
                     self.kind, self.metric, self.values, self.nbr0,
                     self.nbr_up, self._up_slot_dev, qs, visited, disc_d,
                     disc_i, ef=ef, m=self.m, expand=self.beam_expand,
+                    sdim=self._scorer_sdim(),
                 )
         #: iterative resume rounds of the last scan — stats.searches input
         self._last_scan_rounds = batches

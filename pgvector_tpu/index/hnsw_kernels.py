@@ -63,11 +63,23 @@ def use_host_loop() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def make_scorer(kind: str, metric: Metric, data):
+def make_scorer(kind: str, metric: Metric, data, sdim: int = 0):
     """Returns score(qs, rows) -> (Q, R) f32 distances, where ``qs`` is the
     pre-formed query rep and ``rows`` are element ids (Q, R); negative ids
     give +inf.  ``data`` is the index's own value arrays (the vector copies
-    stored in index tuples, hnsw.h:372-382)."""
+    stored in index tuples, hnsw.h:372-382).
+
+    ``sdim > 0`` (sparse L2/IP/cos) selects the *densified-query* scorer:
+    the query batch is scattered once into dense (Q, sdim+1) f32 lanes and
+    each candidate's query-side values come from a direct gather at its CSR
+    indices — no searchsorted merge join.  Bitwise-identical to
+    D.sparse_scores within one program (same qv_at values, same last-axis
+    reduction — tests/test_hnsw.py pins this; across *different* XLA
+    programs either scorer's reduction may be reassociated by fusion, so
+    only allclose holds), strictly cheaper (gather vs binary search per
+    entry), and it avoids the merge-join gather kernel that hard-crashes
+    this image's TPU worker at large shapes (see flat.py's densified-tile
+    note / BENCH_NOTES r5)."""
     if kind == "dense":
         (vecs,) = data
 
@@ -119,6 +131,41 @@ def make_scorer(kind: str, metric: Metric, data):
         return score
     if kind == "sparse":
         idx_arr, val_arr = data
+
+        if sdim > 0 and metric in (Metric.L2, Metric.IP, Metric.COSINE):
+
+            def score(qs, rows):
+                q_idx, q_val = qs  # (Q, P), (Q, P)
+                nq = q_idx.shape[0]
+                # scatter-densify the queries: pads (SPARSE_PAD, val 0)
+                # land in an overflow column; indices are distinct per row
+                # so add == set
+                col = jnp.minimum(q_idx, sdim).astype(jnp.int32)
+                qd = (jnp.zeros((nq, sdim + 1), jnp.float32)
+                      .at[jnp.arange(nq, dtype=jnp.int32)[:, None], col]
+                      .add(q_val))
+                safe = jnp.maximum(rows, 0)
+                ridx = idx_arr[safe]  # (Q, R, P)
+                rval = val_arr[safe]
+                ci = jnp.minimum(ridx, sdim).astype(jnp.int32)
+                qv_at = jax.vmap(lambda dq, c: dq[c])(qd, ci)  # (Q, R, P)
+                ip = jnp.sum(qv_at * rval, axis=-1)
+                if metric is Metric.IP:
+                    d = -ip
+                else:
+                    q_sq = jnp.sum(q_val * q_val, axis=-1)[:, None]
+                    r_sq = jnp.sum(rval * rval, axis=-1)
+                    if metric is Metric.L2:
+                        d = jnp.maximum(q_sq + r_sq - 2.0 * ip, 0.0)
+                    else:  # COSINE
+                        denom = jnp.sqrt(q_sq * r_sq)
+                        cos = jnp.where(
+                            denom > 0, ip / jnp.where(denom > 0, denom, 1.0),
+                            -jnp.inf)
+                        d = 1.0 - cos
+                return jnp.where(rows >= 0, d, jnp.inf)
+
+            return score
 
         def score(qs, rows):
             q_idx, q_val = qs  # (Q, P), (Q, P)
@@ -194,9 +241,9 @@ def elems_as_queries(kind: str, values, elems):
     return values[0][safe]
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "metric"))
-def score_block(kind: str, metric: Metric, values, qs, rows):
-    return make_scorer(kind, metric, values)(qs, rows)
+@functools.partial(jax.jit, static_argnames=("kind", "metric", "sdim"))
+def score_block(kind: str, metric: Metric, values, qs, rows, sdim: int = 0):
+    return make_scorer(kind, metric, values, sdim)(qs, rows)
 
 
 # ---------------------------------------------------------------------------
@@ -537,11 +584,11 @@ def _hop_merge(pool_d, pool_i, pool_x, nbrs, nd, visited, ef: int, disc,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "metric", "ef", "expand",
-                                             "vmode"))
+                                             "vmode", "sdim"))
 def _hop_step(kind, metric, values, nbr0, nbr_up, up_slot, level, qs,
               pool_d, pool_i, pool_x, visited, ef: int, expand: int = 1,
-              vmode: str = "hash2"):
-    score = make_scorer(kind, metric, values)
+              vmode: str = "hash2", sdim: int = 0):
+    score = make_scorer(kind, metric, values, sdim)
     nbrs_of = _neighbors_closure(nbr0, nbr_up, up_slot)
     return _hop_body(score, lambda e: nbrs_of(e, level), qs,
                      pool_d, pool_i, pool_x, visited, ef, expand, vmode=vmode)
@@ -630,7 +677,7 @@ def _pool_seed(qs, init_d, init_i, visited, ef: int, vmode: str = "hash2"):
 
 def search_layer_host(kind, metric, values, nbr0, nbr_up, up_slot, level,
                       qs, init_d, init_i, visited, ef: int, max_steps: int,
-                      expand: int = 1, vmode: str = "hash2"):
+                      expand: int = 1, vmode: str = "hash2", sdim: int = 0):
     """Host-driven Algorithm 2: the same hop step, with termination checked
     on the host (CPU backend path)."""
     pool_d, pool_i, pool_x, visited = _pool_seed(qs, init_d, init_i, visited,
@@ -640,7 +687,7 @@ def search_layer_host(kind, metric, values, nbr0, nbr_up, up_slot, level,
     for _ in range(max_steps):
         pool_d, pool_i, pool_x, visited, done = _hop_step(
             kind, metric, values, nbr0, nbr_up, up_slot, lvl, qs,
-            pool_d, pool_i, pool_x, visited, ef, expand, vmode
+            pool_d, pool_i, pool_x, visited, ef, expand, vmode, sdim
         )
         steps += 1
         if bool(jnp.all(done)):
@@ -684,19 +731,21 @@ def greedy_descent(score, neighbors_of_level, qs, start, start_d, level, m,
     return cur, cur_d
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "metric"))
-def _greedy_step(kind, metric, values, nbr0, nbr_up, up_slot, level, qs, cur, cur_d):
-    score = make_scorer(kind, metric, values)
+@functools.partial(jax.jit, static_argnames=("kind", "metric", "sdim"))
+def _greedy_step(kind, metric, values, nbr0, nbr_up, up_slot, level, qs, cur,
+                 cur_d, sdim: int = 0):
+    score = make_scorer(kind, metric, values, sdim)
     nbrs_of = _neighbors_closure(nbr0, nbr_up, up_slot)
     return _greedy_body(score, lambda e: nbrs_of(e, level), qs, cur, cur_d)
 
 
 def greedy_descent_host(kind, metric, values, nbr0, nbr_up, up_slot, level,
-                        qs, cur, cur_d, max_steps: int):
+                        qs, cur, cur_d, max_steps: int, sdim: int = 0):
     lvl = jnp.int32(level)
     for _ in range(max_steps):
         cur, cur_d, moved = _greedy_step(
-            kind, metric, values, nbr0, nbr_up, up_slot, lvl, qs, cur, cur_d
+            kind, metric, values, nbr0, nbr_up, up_slot, lvl, qs, cur, cur_d,
+            sdim
         )
         if not bool(jnp.any(moved)):
             break
@@ -963,7 +1012,7 @@ def _merge_wholesale_core(kind, metric, values, old_lists, old_kept,
     status is sticky (the reference's cached ``closer`` flags,
     hnswutils.c:1094-1131): they stay admitted, so repeated updates only
     rotate the backfill slots.  Returns (new lists, new kept flags)."""
-    score = make_scorer(kind, metric, values)
+    score = make_scorer(kind, metric, values, sdim)
     cand = jnp.concatenate([old_lists, new_src], axis=1)
     forced = jnp.concatenate(
         [old_kept & (old_lists >= 0),
@@ -1009,7 +1058,7 @@ def merge_backlinks(kind, metric, values, old_lists, old_kept, new_src,
 
     Returns ((T, lm) updated lists, (T, lm) kept flags).  The per-source
     loop unrolls over new_src's (static) width."""
-    score = make_scorer(kind, metric, values)
+    score = make_scorer(kind, metric, values, sdim)
     t_rep = elems_as_queries(kind, values, targets)
     t = old_lists.shape[0]
     rows = jnp.arange(t, dtype=jnp.int32)
@@ -1446,16 +1495,17 @@ def _wave_level_loop(score, qs, lv, entry, entry_level, ef, m, l_unroll,
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "metric", "ef", "m", "l_unroll", "exclude_self",
-                     "expand", "vmode"),
+                     "expand", "vmode", "sdim"),
 )
 def wave_search(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
                 entry, entry_level, ef: int, m: int, l_unroll: int,
-                exclude_self: bool, expand: int = 1, vmode: str = "hash2"):
+                exclude_self: bool, expand: int = 1, vmode: str = "hash2",
+                sdim: int = 0):
     """Full Algorithm 1 search for a wave (TPU mono-jit).  Returns stacked
     per-level pools (l_unroll+1, Q, ef); levels above the dynamic entry
     level terminate in one hop, so one compilation serves every graph
     height ≤ l_unroll."""
-    score = make_scorer(kind, metric, values)
+    score = make_scorer(kind, metric, values, sdim)
     nbrs = _neighbors_closure(nbr0, nbr_up, up_slot)
     nq = lv.shape[0]
 
@@ -1480,21 +1530,22 @@ def wave_search(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
 def wave_search_host(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids,
                      lv, entry, entry_level, ef: int, m: int, l_unroll: int,
                      exclude_self: bool, expand: int = 1,
-                     vmode: str = "hash2"):
+                     vmode: str = "hash2", sdim: int = 0):
     """CPU variant: same level structure, host-driven loops."""
-    score = lambda q, r: score_block(kind, metric, values, q, r)
+    score = lambda q, r: score_block(kind, metric, values, q, r, sdim)
     nq = lv.shape[0]
 
     def greedy_fn(lc, qs_, cur, cur_d):
         return greedy_descent_host(kind, metric, values, nbr0, nbr_up,
-                                   up_slot, lc, qs_, cur, cur_d, max_steps=512)
+                                   up_slot, lc, qs_, cur, cur_d,
+                                   max_steps=512, sdim=sdim)
 
     def beam_fn(lc, qs_, pool_d, pool_i):
         visited = visited_init(nq, ef, vmode)
         pd, pi, _, _ = search_layer_host(
             kind, metric, values, nbr0, nbr_up, up_slot, lc, qs_,
             pool_d, pool_i, visited, ef=ef, max_steps=4 * ef + 64,
-            expand=expand, vmode=vmode,
+            expand=expand, vmode=vmode, sdim=sdim,
         )
         return pd, pi
 
@@ -1506,7 +1557,7 @@ def wave_search_host(kind, metric, values, nbr0, nbr_up, up_slot, qs, self_ids,
 @functools.lru_cache(maxsize=None)
 def _wave_search_sharded_fn(mesh, kind, metric, ef: int, m: int,
                             l_unroll: int, exclude_self: bool, expand: int,
-                            vmode: str):
+                            vmode: str, sdim: int = 0):
     """Build (and cache) the jitted shard_map program for
     wave_search_sharded.  Two deliberate choices, both load-bearing for
     bit-identity (round-5 sparse regression, VERDICT r4 weak #1):
@@ -1533,7 +1584,7 @@ def _wave_search_sharded_fn(mesh, kind, metric, ef: int, m: int,
                              qs, self_ids, lv, entry, entry_level, ef=ef,
                              m=m, l_unroll=l_unroll,
                              exclude_self=exclude_self, expand=expand,
-                             vmode=vmode)
+                             vmode=vmode, sdim=sdim)
         od = jax.lax.all_gather(od, ax, axis=1, tiled=True)
         oi = jax.lax.all_gather(oi, ax, axis=1, tiled=True)
         return od, oi
@@ -1551,7 +1602,8 @@ def _wave_search_sharded_fn(mesh, kind, metric, ef: int, m: int,
 def wave_search_sharded(mesh, kind, metric, values, nbr0, nbr_up, up_slot,
                         qs, self_ids, lv, entry, entry_level, *, ef: int,
                         m: int, l_unroll: int, exclude_self: bool,
-                        expand: int = 1, vmode: str = "hash2"):
+                        expand: int = 1, vmode: str = "hash2",
+                        sdim: int = 0):
     """Multi-device wave search for building ONE graph: the wave's queries
     split across the mesh (data parallelism over the insert wave — the SPMD
     mapping of the reference's parallel build, where N processes run
@@ -1567,7 +1619,7 @@ def wave_search_sharded(mesh, kind, metric, values, nbr0, nbr_up, up_slot,
     _wave_search_sharded_fn for why that is a correctness requirement,
     not a convenience."""
     fn = _wave_search_sharded_fn(mesh, kind, metric, ef, m, l_unroll,
-                                 exclude_self, expand, vmode)
+                                 exclude_self, expand, vmode, sdim)
     return fn(values, nbr0, nbr_up, up_slot, qs, self_ids, lv,
               entry, entry_level)
 
@@ -1608,7 +1660,7 @@ def _expand_topk(pool_d, pool_i, elem_rows, row_valid, fmask, k: int,
     jax.jit,
     static_argnames=("kind", "metric", "ef", "m", "l_unroll", "k", "heaptids",
                      "expand", "vmode", "rerank", "max_steps", "pallas_tail",
-                     "prune", "user_dist"),
+                     "prune", "user_dist", "sdim"),
     # the packed cache is DONATED and returned verbatim: as a read-only
     # entry parameter feeding the hop while_loop, XLA copy-insertion gave
     # the loop its own 8 GB copy of the cache (the round-5 GIST-200k int8
@@ -1623,7 +1675,7 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                  vmode: str = "hash2", packed_vals=None, rerank: bool = False,
                  max_steps: int = 0, pallas_tail: bool = False,
                  qs_packed=None, packed_scale=None, packed_norm2=None,
-                 prune: int = 0, user_dist: bool = False):
+                 prune: int = 0, user_dist: bool = False, sdim: int = 0):
     """Algorithm 5 (hnswscan.c:25-56), TPU mono-jit.
 
     ``packed_vals`` — optional adjacency-packed neighbor values
@@ -1635,7 +1687,7 @@ def query_search(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
     ``rerank``, the final ef pool is re-scored against the exact f32
     stored values (one ef-row gather) so reduced-precision packing never
     changes the emitted ordering beyond pool admission."""
-    score = make_scorer(kind, metric, values)
+    score = make_scorer(kind, metric, values, sdim)
     nbrs = _neighbors_closure(nbr0, nbr_up, up_slot)
     nq = qs.shape[0] if not isinstance(qs, tuple) else qs[0].shape[0]
 
@@ -1688,15 +1740,16 @@ def _expand_topk_jit(pool_d, pool_i, elem_rows, row_valid, fmask,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "metric", "ef", "m", "l_unroll", "dk", "expand"),
+    static_argnames=("kind", "metric", "ef", "m", "l_unroll", "dk", "expand",
+                     "sdim"),
 )
 def query_search_first(kind, metric, values, nbr0, nbr_up, up_slot, qs,
                        entry, entry_level, ef: int, m: int, l_unroll: int,
-                       dk: int, expand: int = 1):
+                       dk: int, expand: int = 1, sdim: int = 0):
     """First batch of an iterative scan: Algorithm 5 with a live discarded
     pool.  Returns (pool_d, pool_i, visited, disc_d, disc_i) — the scan
     state a resume continues from."""
-    score = make_scorer(kind, metric, values)
+    score = make_scorer(kind, metric, values, sdim)
     nbrs = _neighbors_closure(nbr0, nbr_up, up_slot)
     nq = qs.shape[0] if not isinstance(qs, tuple) else qs[0].shape[0]
     entry_arr = jnp.full((nq,), entry, jnp.int32)
@@ -1717,15 +1770,15 @@ def query_search_first(kind, metric, values, nbr0, nbr_up, up_slot, qs,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "metric", "ef", "m", "expand")
+    jax.jit, static_argnames=("kind", "metric", "ef", "m", "expand", "sdim")
 )
 def query_search_resume(kind, metric, values, nbr0, nbr_up, up_slot, qs,
                         visited, disc_d, disc_i, ef: int, m: int,
-                        expand: int = 1):
+                        expand: int = 1, sdim: int = 0):
     """ResumeScanItems (hnswscan.c:61-87): re-seed a layer-0 search from the
     best ef discarded candidates WITHOUT resetting the visited set
     (initVisited=false), keeping the rest of the discarded pool live."""
-    score = make_scorer(kind, metric, values)
+    score = make_scorer(kind, metric, values, sdim)
     nbrs = _neighbors_closure(nbr0, nbr_up, up_slot)
     nq = disc_d.shape[0]
     dk = disc_d.shape[1]
@@ -1750,7 +1803,7 @@ def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
                       packed_vals=None, rerank: bool = False,
                       max_steps: int = 0, pallas_tail: bool = False,
                       qs_packed=None, packed_scale=None, packed_norm2=None,
-                      prune: int = 0, user_dist: bool = False):
+                      prune: int = 0, user_dist: bool = False, sdim: int = 0):
     """CPU variant of Algorithm 5 with host-driven loops.  The packed-
     adjacency path is a device-gather optimization; the host driver always
     scores via row gathers (packed_vals/rerank/pallas_tail accepted for
@@ -1758,17 +1811,18 @@ def query_search_host(kind, metric, values, nbr0, nbr_up, up_slot, elem_rows,
     device path."""
     nq = qs.shape[0] if not isinstance(qs, tuple) else qs[0].shape[0]
     entry_arr = jnp.full((nq,), entry, jnp.int32)
-    cur_d = score_block(kind, metric, values, qs, entry_arr[:, None])[:, 0]
+    cur_d = score_block(kind, metric, values, qs, entry_arr[:, None],
+                        sdim)[:, 0]
     cur = entry_arr
     for lc in range(int(entry_level), 0, -1):
         cur, cur_d = greedy_descent_host(kind, metric, values, nbr0, nbr_up,
                                          up_slot, lc, qs, cur, cur_d,
-                                         max_steps=512)
+                                         max_steps=512, sdim=sdim)
     visited = visited_init(nq, ef, vmode)
     pool_d, pool_i, _, steps = search_layer_host(
         kind, metric, values, nbr0, nbr_up, up_slot, 0, qs,
         cur_d[:, None], cur[:, None], visited, ef=ef,
-        max_steps=max_steps or (8 * ef + 64), vmode=vmode,
+        max_steps=max_steps or (8 * ef + 64), vmode=vmode, sdim=sdim,
     )
     d, r = _expand_topk_jit(pool_d, pool_i, elem_rows, row_valid, fmask, k,
                             heaptids)

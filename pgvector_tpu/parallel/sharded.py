@@ -571,6 +571,9 @@ class DeviceShardedHNSWIndex:
         element rows globalize through g_rows (local row → global row)."""
         mesh, axis, shards = self.mesh, self.axis, self.shards
         self.kind = shards[0].kind
+        #: densified-query scorer dim (sparse moderate-dim) — same policy as
+        #: the single-device scan, see HNSWIndex._scorer_sdim
+        self._sdim = shards[0]._scorer_sdim()
         # shard capacities derive their own unroll depths (allocation
         # tracks the depth since round 4) — equalize widths so the
         # per-shard nbr_up arrays stack
@@ -694,6 +697,7 @@ class DeviceShardedHNSWIndex:
         axis = self.axis
         kind, metric, m = self.kind, self.metric, self.m
         l_unroll, heaptids = self._l_unroll, self.heaptids
+        sdim = self._sdim
         n_val = len(self.values)
 
         def shard_fn(*args):
@@ -704,7 +708,7 @@ class DeviceShardedHNSWIndex:
                 kind, metric, vals, nbr0_s[0], nbr_up_s[0], up_slot_s[0],
                 elem_rows_s[0], row_valid, fmask, qs, entry_s[0], entlv_s[0],
                 ef=ef, m=m, l_unroll=l_unroll, k=k, heaptids=heaptids,
-                expand=expand,
+                expand=expand, sdim=sdim,
             )
             all_d = jax.lax.all_gather(d, axis, axis=0)  # (S, Q, k)
             all_i = jax.lax.all_gather(r, axis, axis=0)

@@ -184,6 +184,69 @@ def test_sparse_hnsw():
     assert recall_at_k(r, e_i) >= 0.85
 
 
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.IP, Metric.COSINE])
+def test_sparse_densified_scorer_bit_identical(metric):
+    """The densified-query scorer (make_scorer sdim>0 — the path every
+    moderate-dim sparse search now rides, HNSWIndex._scorer_sdim) must be
+    BITWISE identical to the merge-join scorer it replaces: same qv_at
+    values (scatter-then-gather vs searchsorted), same last-axis f32
+    reduction.  Covers CSR pads (SPARSE_PAD), empty-overlap pairs, and
+    negative (masked) candidate ids."""
+    from pgvector_tpu.index import hnsw_kernels as K
+
+    rng = np.random.default_rng(17)
+    n, dim, nnz, nq, r = 64, 50, 24, 6, 16
+    dense = (rng.normal(size=(n, dim)) * (rng.random((n, dim)) < 0.25)
+             ).astype(np.float32)
+    dense[dense.sum(axis=1) == 0, 0] = 1.0
+    qdense = (rng.normal(size=(nq, dim)) * (rng.random((nq, dim)) < 0.25)
+              ).astype(np.float32)
+    qdense[0] = 0.0  # empty query → zero overlap with everything
+    table = SparseTable(dim, nnz_cap=nnz)
+    table.insert([SparseVec.from_dense(v) for v in dense])
+    idx = HNSWIndex(table, metric, m=4, ef_construction=8, wave_size=32,
+                    build=False)
+    values = idx.values  # (idx_arr, val_arr) padded CSR
+    qs, _ = idx._query_rep([SparseVec.from_dense(v) for v in qdense])
+    rows = rng.integers(0, n, size=(nq, r)).astype(np.int32)
+    rows[:, -2:] = -1  # masked lanes must stay +inf
+    d_mj = np.asarray(K.score_block("sparse", metric, values, qs,
+                                    jnp.asarray(rows), sdim=0))
+    d_dq = np.asarray(K.score_block("sparse", metric, values, qs,
+                                    jnp.asarray(rows), sdim=dim))
+    assert d_mj.dtype == d_dq.dtype == np.float32
+    assert np.array_equal(d_mj, d_dq), (
+        f"{metric}: densified-query scorer diverges from merge join")
+
+
+def test_sparse_search_identical_across_scorers(monkeypatch):
+    """End-to-end: a sparse HNSW search returns the same neighbor ids and
+    ULP-equal distances whether the scan rides the densified-query scorer
+    or the merge join.  Distances are compared with allclose, not
+    bitwise: the two scans are *different XLA programs*, and XLA:CPU
+    reassociates the same f32 lane reduction differently depending on
+    what it fuses around it (measured: the merge-join scorer itself
+    returns -5.7117767 inside the mono-jit scan but -5.711777 standalone
+    for one pair).  Same-program bitwise identity is the kernel test
+    above; cross-program identity is not an XLA contract."""
+    rng = np.random.default_rng(21)
+    dense = (rng.normal(size=(300, 48)) * (rng.random((300, 48)) < 0.3)
+             ).astype(np.float32)
+    dense[dense.sum(axis=1) == 0, 0] = 1.0
+    qdense = (rng.normal(size=(8, 48)) * (rng.random((8, 48)) < 0.3)
+              ).astype(np.float32)
+    table = SparseTable(48, nnz_cap=32)
+    table.insert([SparseVec.from_dense(v) for v in dense])
+    idx = HNSWIndex(table, Metric.IP, m=8, ef_construction=32, wave_size=64)
+    queries = [SparseVec.from_dense(v) for v in qdense]
+    d1, r1 = idx.search(queries, 10, ef_search=40)
+    monkeypatch.setattr(HNSWIndex, "_scorer_sdim", lambda self: 0)
+    d0, r0 = idx.search(queries, 10, ef_search=40)
+    assert np.array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_empty_index_search():
     table = DenseTable(8)
     idx = HNSWIndex(table, Metric.L2, build=False)
