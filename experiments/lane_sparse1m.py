@@ -27,12 +27,28 @@ nq, k, batch = 4000, 10, 4000
 sn = int(os.environ.get("LANE_N", 1_000_000))
 sdim, snnz = 4096, 32
 rng = np.random.default_rng(11)
-# distinct sorted indices per row; values never exactly zero
+# distinct sorted indices per row; values never exactly zero.
+# LANE_DIST=uniform draws indices uniformly — a near-worst case for graph
+# search at nnz 32 / 4096-d (P[two rows overlap at all] ~ 22%, so most
+# candidate scores tie at 0 and descent has no gradient — same physics as
+# the dense uniform lane, BASELINE.md).  LANE_DIST=zipf draws power-law
+# indices (lexical sparsity: SPLADE/BM25-style vocabularies), the
+# distribution sparse vector search actually serves.
+DIST = os.environ.get("LANE_DIST", "uniform")
 s_idx = np.empty((sn + nq, snnz), np.int32)
+if DIST == "zipf":
+    p = 1.0 / (np.arange(sdim) + 10.0)
+    logp = np.log(p / p.sum())
 for s in range(0, sn + nq, 50_000):
     e = min(s + 50_000, sn + nq)
-    keys = rng.random((e - s, sdim))
-    s_idx[s:e] = np.sort(np.argpartition(keys, snnz, axis=1)[:, :snnz], axis=1)
+    if DIST == "zipf":
+        # Gumbel top-k = weighted sample without replacement, vectorized
+        keys = logp[None, :] + rng.gumbel(size=(e - s, sdim))
+        part = np.argpartition(-keys, snnz, axis=1)[:, :snnz]
+    else:
+        keys = rng.random((e - s, sdim))
+        part = np.argpartition(keys, snnz, axis=1)[:, :snnz]
+    s_idx[s:e] = np.sort(part, axis=1)
 s_val = rng.normal(size=(sn + nq, snnz)).astype(np.float32)
 s_val[s_val == 0] = 1.0
 stab = SparseTable(sdim, nnz_cap=snnz, capacity=sn)
@@ -43,7 +59,10 @@ for s in range(0, sn, chunk):
 sq = [SparseVec(sdim, s_idx[sn + i], s_val[sn + i], _checked=True)
       for i in range(nq)]
 print("loaded", stab.count, flush=True)
-lane = {"n": sn, "dim": sdim, "nnz": snnz, "sweep": []}
+lane = {"n": sn, "dim": sdim, "nnz": snnz, "dist": DIST, "sweep": []}
+# read prior milestone fields BEFORE the first save() overwrites OUT —
+# the r5 24k run clobbered its own build_s=841.8 by reading after
+prior = json.load(open(OUT)) if os.path.exists(OUT) else {}
 
 
 def save():
@@ -52,12 +71,14 @@ def save():
 
 
 # resumable milestones (see lane_10m_hnsw.py): GT and the built graph
-# persist across watchdog retries of a wedged worker
-GT_NPY = "/tmp/lane_sparse_gt.npy"
-CKPT = "/tmp/lane_sparse_ckpt"
+# persist across watchdog retries of a wedged worker.  Paths are
+# (dist, n)-specific so configs can never poison each other's resume —
+# except the original uniform-24k artifacts, which predate the suffix.
+_suf = "" if (DIST, sn) == ("uniform", 24576) else f"_{DIST}_{sn}"
+GT_NPY = f"/tmp/lane_sparse_gt{_suf}.npy"
+CKPT = f"/tmp/lane_sparse_ckpt{_suf}"
 if os.path.exists(GT_NPY):
     sgt = np.load(GT_NPY)
-    prior = json.load(open(OUT)) if os.path.exists(OUT) else {}
     lane["gt_s"] = prior.get("gt_s", -1.0)
     lane["gt_path"] = prior.get("gt_path", "cached")
 else:
@@ -74,7 +95,6 @@ if os.path.isdir(CKPT):
     from pgvector_tpu.io import load_hnsw
 
     sidx = load_hnsw(stab, CKPT)
-    prior = json.load(open(OUT)) if os.path.exists(OUT) else {}
     lane["build_s"] = prior.get("build_s", -1.0)
     print("build loaded from checkpoint", flush=True)
 else:
@@ -90,7 +110,9 @@ else:
     print("checkpointed", flush=True)
 save()
 sidx.beam_expand = 8
-for ef in (40, 100):
+EFS = tuple(int(x) for x in os.environ.get("LANE_EFS", "40,100").split(","))
+lane["sweep"] = [r for r in prior.get("sweep", []) if r["ef"] not in EFS]
+for ef in EFS:
     sidx.search(sq[:batch], k, ef_search=ef)
     t0 = time.time()
     r = np.concatenate([np.asarray(sidx.search(sq[s:s+batch], k, ef_search=ef)[1])
@@ -99,6 +121,7 @@ for ef in (40, 100):
     sh = sum(len(set(map(int, a)) & set(map(int, e))) for a, e in zip(r, sgt))
     lane["sweep"].append({"ef": ef, "recall_at_10": round(sh/(nq*k), 4),
                           "qps": round(nq/dt, 1)})
+    lane["sweep"].sort(key=lambda r: r["ef"])
     save()
     print(json.dumps(lane["sweep"][-1]), flush=True)
 print(json.dumps(lane), flush=True)
