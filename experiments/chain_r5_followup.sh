@@ -16,7 +16,7 @@ for try in 1 2; do
     >> /tmp/lane_gist_int8.log 2>&1 && break
 done
 
-LANE_N=24576 LANE_EFS=200,400 \
+LANE_N=24576 LANE_EFS=40,100,200,400 \
   LANE_OUT=/root/repo/experiments/results/lane_sparse24k_r5.json \
   timeout 1800 python experiments/watchdog_run.py python experiments/lane_sparse1m.py \
   >> /tmp/lane_sparse24k_ext.log 2>&1
